@@ -1,0 +1,259 @@
+"""HTML → text extraction kernel (pure Python, stdlib only).
+
+Two outputs per page:
+
+* ``raw_text`` — markup-strip semantics equivalent to the reference's
+  ``BeautifulSoup(html, features='lxml').get_text()`` call
+  (reference: src/solrizer/indexers/extracted_text.py:105-107): the
+  concatenation of all text nodes in document order with character/
+  entity references decoded and nothing else altered. Byte-identity is
+  pinned by golden tests copied from the reference suite
+  (tests/indexers/test_extracted_text.py:52). Deviations (documented,
+  deliberate — this is a *web main-content* engine, the reference never
+  sees scripts): contents of ``<script>``/``<style>``/``<template>``
+  and comments/doctypes are excluded.
+
+* ``blocks`` — a boilerpipe/Readability-style segmentation of the DOM
+  into text blocks scored by text density and link density, used for
+  main-content extraction (the new-engine operator required by the
+  north rule; no reference analog — the reference only strips markup).
+
+The kernel is deterministic: same bytes in → same bytes out, no
+ambient state, so Spark task retries/speculation cannot produce
+divergent results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+__all__ = ["Block", "ExtractionResult", "extract_html", "get_text"]
+
+#: Elements whose start or end terminates the current text block.
+BLOCK_TAGS = frozenset(
+    """html body main article section header footer nav aside
+    p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tr td th
+    blockquote pre figure figcaption form fieldset address hr title
+    caption center""".split()
+)
+
+#: Elements whose text content is never part of extracted text.
+SKIP_TAGS = frozenset("script style template noscript".split())
+
+#: Void elements (no end tag); never pushed on the open-tag stack.
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+#: Containers that mark their whole subtree as boilerplate.
+BOILERPLATE_CONTAINERS = frozenset("nav aside footer header".split())
+
+#: link_density above this ⇒ block is boilerplate (boilerpipe's
+#: classic threshold is 1/3).
+LINK_DENSITY_THRESHOLD = 1.0 / 3.0
+
+#: Blocks shorter than this (in words) that contain any link text are
+#: treated as navigation crumbs.
+MIN_WORDS_WITH_LINKS = 3
+
+#: Canvas width used for the words-per-line text density (boilerpipe
+#: uses an 80-column virtual canvas).
+DENSITY_CANVAS_COLS = 80
+
+
+@dataclass
+class Block:
+    """One DOM text block with boilerplate-classification features."""
+
+    block_index: int
+    tag_path: str
+    text: str  # whitespace-normalized block text
+    n_chars: int
+    n_words: int
+    link_chars: int
+    link_density: float
+    text_density: float
+    in_boilerplate_container: bool
+    kept: bool = False
+
+
+@dataclass
+class ExtractionResult:
+    raw_text: str | None
+    title: str | None
+    blocks: list[Block] = field(default_factory=list)
+    parse_failed: bool = False
+    error: str | None = None
+
+    @property
+    def main_text(self) -> str:
+        return "\n".join(b.text for b in self.blocks if b.kept)
+
+
+class _Extractor(HTMLParser):
+    """Single-pass extractor: raw text stream + block segmentation."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.raw_parts: list[str] = []
+        self.title_parts: list[str] = []
+        self.blocks: list[Block] = []
+        self._stack: list[str] = []
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._boiler_depth = 0
+        self._title_depth = 0
+        self._buf: list[str] = []  # text of the current block
+        self._buf_link_chars = 0
+
+    # -- block bookkeeping -------------------------------------------------
+
+    def _flush_block(self) -> None:
+        text = "".join(self._buf)
+        link_chars = self._buf_link_chars
+        self._buf = []
+        self._buf_link_chars = 0
+        norm = " ".join(text.split())
+        if not norm:
+            return
+        n_chars = len(norm)
+        n_words = len(norm.split())
+        lines = max(1.0, n_chars / DENSITY_CANVAS_COLS)
+        self.blocks.append(
+            Block(
+                block_index=len(self.blocks),
+                tag_path="/".join(self._stack) or "html",
+                text=norm,
+                n_chars=n_chars,
+                n_words=n_words,
+                link_chars=min(link_chars, n_chars),
+                link_density=min(link_chars, n_chars) / n_chars,
+                text_density=n_words / lines,
+                in_boilerplate_container=self._boiler_depth > 0,
+            )
+        )
+
+    # -- HTMLParser callbacks ----------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+        if tag in VOID_TAGS:
+            return
+        self._stack.append(tag)
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BOILERPLATE_CONTAINERS:
+            self._boiler_depth += 1
+        if tag == "title":
+            self._title_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+        # pop to the matching open tag (tolerates misnesting)
+        if tag in self._stack:
+            while self._stack:
+                popped = self._stack.pop()
+                if popped in SKIP_TAGS:
+                    self._skip_depth -= 1
+                if popped == "a":
+                    self._link_depth -= 1
+                if popped in BOILERPLATE_CONTAINERS:
+                    self._boiler_depth -= 1
+                if popped == "title":
+                    self._title_depth -= 1
+                if popped == tag:
+                    break
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        self.raw_parts.append(data)
+        if self._title_depth:
+            self.title_parts.append(data)
+            return  # title is not part of main-content blocks
+        self._buf.append(data)
+        if self._link_depth:
+            self._buf_link_chars += len(" ".join(data.split()))
+
+    def close(self) -> None:  # final flush
+        super().close()
+        self._flush_block()
+
+
+def classify_blocks(blocks: list[Block]) -> None:
+    """Boilerplate keep/drop decision, in place. Deterministic rules:
+
+    1. anything inside a ``nav``/``aside``/``footer``/``header``
+       subtree is boilerplate;
+    2. link_density > 1/3 ⇒ boilerplate (link farms, menus);
+    3. short blocks (< 3 words) containing any link text ⇒ crumbs;
+    4. everything else is content.
+    """
+    for b in blocks:
+        if b.in_boilerplate_container:
+            b.kept = False
+        elif b.link_density > LINK_DENSITY_THRESHOLD:
+            b.kept = False
+        elif b.n_words < MIN_WORDS_WITH_LINKS and b.link_chars > 0:
+            b.kept = False
+        else:
+            b.kept = True
+
+
+def extract_html(payload: bytes | str | None) -> ExtractionResult:
+    """Parse one HTML payload into ``ExtractionResult``.
+
+    Never raises: malformed input yields ``parse_failed=True`` with an
+    ``error`` tag, so a 10^12-row job cannot be failed by one bad page
+    (reference analog: IndexerError quarantine paths,
+    src/solrizer/indexers/extracted_text.py:100-103).
+    """
+    if payload is None:
+        return ExtractionResult(None, None, parse_failed=True, error="empty_html")
+    if isinstance(payload, bytes):
+        if not payload:
+            return ExtractionResult(None, None, parse_failed=True, error="empty_html")
+        try:
+            text = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            return ExtractionResult(None, None, parse_failed=True, error="decode_error")
+    else:
+        if not payload:
+            return ExtractionResult(None, None, parse_failed=True, error="empty_html")
+        text = payload
+    parser = _Extractor()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception as e:  # html.parser is tolerant; belt and braces
+        return ExtractionResult(None, None, parse_failed=True, error=f"parse_error:{type(e).__name__}")
+    blocks = parser.blocks
+    classify_blocks(blocks)
+    title = " ".join("".join(parser.title_parts).split()) or None
+    return ExtractionResult(
+        raw_text="".join(parser.raw_parts),
+        title=title,
+        blocks=blocks,
+    )
+
+
+def get_text(payload: bytes | str) -> str:
+    """Markup-strip only — the ``BeautifulSoup(...).get_text()``
+    equivalent (reference: extracted_text.py:107). Raises on
+    undecodable input, mirroring the reference's strict ``.decode()``.
+    """
+    result = extract_html(payload)
+    if result.parse_failed:
+        raise ValueError(result.error or "parse failed")
+    return result.raw_text or ""

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults are chosen for the 100 TB design point and scaled down by
+parameters for local testing:
+
+* AQE on (runtime coalesce + skew-join splitting),
+* Arrow-vectorized pandas UDFs with a *capped* records-per-batch —
+  web pages are multi-KB blobs; the stock 10k rows/batch risks
+  multi-hundred-MB Arrow batches per Python worker at p99 page sizes,
+* shuffle partitions sized by the caller (tests: small; cluster: ~2-3×
+  total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Cap on rows per Arrow batch crossing the JVM↔Python boundary.
+#: At ~64 KiB mean page size this bounds batches to ~64 MiB.
+ARROW_MAX_RECORDS_PER_BATCH = 1024
+
+
+def get_spark(
+    app_name: str = "solrizer-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ~2× cores locally; on a real cluster this is overridden by
+        # --conf (and AQE coalesces anyway).
+        shuffle_partitions = max(8, cpus * 2)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
