@@ -1,0 +1,93 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+The flagship measurement is the full extraction field-chain over a
+deterministic HTML wrap of the ``documents`` table, replicated
+``$SPARK_GRAFT_BENCH_MULT``× (default 20×, ≈100k pages at sf0.1) with
+distinct urls — measuring docs/sec through the pandas-UDF extraction
+stage, the thing BASELINE.json's metric names. Scaling-efficiency
+evidence (local[8] vs local[32]) is produced by tools/scaling_bench.py
+and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "20"))
+
+    import __spark_entry__ as em
+    from solrizer_spark.operators.repartition import salted_repartition
+    from solrizer_spark.plans.pipeline import run_chain
+    from solrizer_spark.session import get_spark
+
+    spark = get_spark(app_name="solrizer-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- flagship: extraction pipeline at ~mult×documents scale --------
+    base = em._wrap_pages(spark, sf_dir, boilerplate=True)
+    replicas = spark.range(mult).select(F.col("id").alias("rep"))
+    pages = (
+        base.crossJoin(F.broadcast(replicas))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?rep="), F.col("rep")))
+        .drop("rep")
+    )
+    pages = salted_repartition(pages, cpus * 4)
+    n_docs = pages.count()
+
+    def run_extract():
+        out = run_chain(pages)
+        # force full materialization of the doc column (defeats
+        # column pruning of the UDF output)
+        return out.agg(F.sum(F.length("doc"))).collect()[0][0]
+
+    timed("extract_pipeline", run_extract)
+
+    # -- operator queries at sf scale -----------------------------------
+    qs = em.queries()
+    for name in ["page_sequence", "dedup_exact", "text_stats", "lang_facet_counts"]:
+        df = qs[name](spark, sf_dir)
+        timed(name, lambda d=df: d.agg(F.count(F.lit(1))).collect())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["extract_pipeline"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline wall time (extract pipeline + operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_docs_extracted": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

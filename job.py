@@ -1,0 +1,158 @@
+"""spark-submit entrypoint: the full extraction job.
+
+    spark-submit --master local[8] job.py \
+        --input /path/corpus/pages --output /tmp/out [--resume]
+
+Dataflow (SURVEY.md §3.4):
+
+    read pages (column-pruned scan)
+      → partition_key = pmod(xxhash64(url, salt), n_buckets)
+      → [resume] prune buckets already in the completion manifest
+      → salted repartition by url-hash              (skew defuse)
+      → field chain: extract → content_model → discoverability
+        → dates → facets → aggregate_fields → doc   (one Python stage)
+      → write docs partitionBy(partition_key)       (dynamic overwrite)
+      → write per-bucket manifests + lineage/metrics (manifest-last)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from solrizer_spark.operators.manifests import (
+    build_manifest,
+    completed_buckets,
+    filter_completed,
+)
+from solrizer_spark.operators.metrics import attach_observation, build_metrics
+from solrizer_spark.operators.repartition import salted_repartition, url_bucket
+from solrizer_spark.plans.pipeline import DEFAULT_CHAIN, build_pipeline
+from solrizer_spark.session import get_spark
+from solrizer_spark.sources.pages import read_pages, write_table
+
+#: Columns persisted to the docs table. ``blocks`` is intentionally
+#: dropped — at 10^12 rows the block array quadruples the sink size
+#: and nothing downstream reads it (metrics are pre-aggregated).
+DOC_COLUMNS = [
+    "partition_key",
+    "url",
+    "id",
+    "warc_ts",
+    "lang",
+    "route",
+    "content_model_name__str",
+    "extracted_text",
+    "is_tagged",
+    "title",
+    "language__facet",
+    "warc_ts__time",
+    "is_published",
+    "is_hidden",
+    "is_top_level",
+    "is_discoverable",
+    "text",
+    "identifier",
+    "doc",
+    "parse_failed",
+    "error",
+    "bytes_in",
+    "blocks_kept",
+    "blocks_dropped",
+]
+
+
+def run_job(
+    spark,
+    input_path: str,
+    output_path: str,
+    n_buckets: int = 256,
+    salt: int = 0,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    chain: list[str] | None = None,
+) -> dict:
+    docs_path = os.path.join(output_path, "docs")
+    manifest_path = os.path.join(output_path, "manifests")
+    metrics_path = os.path.join(output_path, "metrics")
+    run_id = uuid.uuid4().hex[:12]
+
+    pages = read_pages(spark, input_path)
+    pages = pages.withColumn("partition_key", url_bucket("url", n_buckets, salt))
+
+    done: list[int] = []
+    if resume:
+        done = completed_buckets(spark, manifest_path, n_buckets, salt)
+        pages = filter_completed(pages, done)
+    skipped = len(done)
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pages = salted_repartition(pages, num_partitions, salt=salt)
+
+    pipeline = build_pipeline(chain or DEFAULT_CHAIN)
+    docs = pipeline(pages).select(*DOC_COLUMNS)
+
+    docs, obs = attach_observation(docs)
+    t0 = time.monotonic()
+    write_table(docs, docs_path, mode="overwrite", partition_by=["partition_key"])
+    elapsed = time.monotonic() - t0
+
+    # manifest-last: completion rows derive from the durably written
+    # sink, restricted to buckets recomputed THIS run (resume appends
+    # must not duplicate prior completion rows)
+    written = spark.read.parquet(docs_path)
+    if done:
+        written = written.where(~F.col("partition_key").isin(done))
+    write_table(
+        build_manifest(written, run_id, n_buckets, salt), manifest_path, mode="append"
+    )
+    write_table(build_metrics(written, run_id), metrics_path, mode="append")
+
+    counters = dict(obs.get) if obs.get else {}
+    n_docs = int(counters.get("n_docs") or 0)
+    return {
+        "run_id": run_id,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / elapsed, 1) if elapsed > 0 else None,
+        "elapsed_sec": round(elapsed, 2),
+        "skipped_buckets": skipped,
+        "counters": {k: int(v) for k, v in counters.items() if v is not None},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="solrizer-spark-job",
+        cpus=args.cpus,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    stats = run_job(
+        spark,
+        args.input,
+        args.output,
+        n_buckets=args.buckets,
+        salt=args.salt,
+        resume=args.resume,
+    )
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

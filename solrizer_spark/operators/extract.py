@@ -1,0 +1,203 @@
+"""The extraction stage — the engine's single Python hot path.
+
+One Arrow-vectorized pandas UDF maps ``(html binary, text string)`` →
+a typed extraction struct. Everything downstream (main-text assembly,
+routing, metrics, field naming) is native Spark SQL over the struct,
+keeping the Python surface minimal and the rest of the plan inside
+WholeStageCodegen.
+
+Reference semantics re-expressed (src/solrizer/indexers/extracted_text.py):
+
+* 3-way content routing OCR → HTML → plain text (get_text_page,
+  extracted_text.py:76-111) becomes payload sniffing inside the UDF
+  (``route`` field) + ``F.when`` chains downstream;
+* HTML route: get_text-equivalent ``raw_text`` plus scored DOM blocks
+  (the new-engine boilerplate classifier, SURVEY.md §2.12);
+* OCR route: ``word|n={page}&xywh={x,y,w,h}`` tokens
+  (extracted_text.py:114-119), detected for ALTO / hOCR / OCR1;
+* plain route: ``text`` passthrough unaltered (extracted_text.py:109-111);
+* failures never raise — they land in ``parse_failed``/``error`` and
+  the metrics table (IndexerError analog, extracted_text.py:100-103).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from solrizer_spark.extraction.html_text import extract_html
+from solrizer_spark.extraction.tagged import (
+    OCR1_MAGIC,
+    UnrecognizedOCRFormatError,
+    extract_tagged_words,
+    tagged_text,
+)
+
+BLOCK_TYPE = T.StructType(
+    [
+        T.StructField("block_index", T.IntegerType()),
+        T.StructField("tag_path", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("link_chars", T.IntegerType()),
+        T.StructField("link_density", T.DoubleType()),
+        T.StructField("text_density", T.DoubleType()),
+        T.StructField("kept", T.BooleanType()),
+    ]
+)
+
+EXTRACT_TYPE = T.StructType(
+    [
+        T.StructField("route", T.StringType()),  # html | plain | tagged | failed
+        T.StructField("raw_text", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("tagged_text", T.StringType()),
+        T.StructField("blocks", T.ArrayType(BLOCK_TYPE)),
+        T.StructField("parse_failed", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("bytes_in", T.IntegerType()),
+    ]
+)
+
+_FAILED = {
+    "route": "failed",
+    "raw_text": None,
+    "title": None,
+    "tagged_text": None,
+    "blocks": None,
+    "parse_failed": True,
+    "error": None,
+    "bytes_in": 0,
+}
+
+#: payload sniff window (bytes) for OCR-format markers
+_SNIFF = 4096
+_OCR_MARKERS = (b"<alto", b"ocrx_word", b"ocr_page")
+
+
+def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> dict:
+    """Pure per-record kernel; the UDF maps this over Arrow batches."""
+    if html is not None and len(html) > 0:
+        head = html[:_SNIFF]
+        is_tagged = head.lstrip()[:4] == OCR1_MAGIC.encode() or any(
+            m in head for m in _OCR_MARKERS
+        )
+        if is_tagged:
+            try:
+                words = extract_tagged_words(html, dpi=dpi)
+            except (UnrecognizedOCRFormatError, UnicodeDecodeError, ValueError) as e:
+                return {**_FAILED, "error": f"ocr_error:{type(e).__name__}", "bytes_in": len(html)}
+            return {
+                "route": "tagged",
+                "raw_text": None,
+                "title": None,
+                "tagged_text": tagged_text(words, page_index=0),
+                "blocks": None,
+                "parse_failed": False,
+                "error": None,
+                "bytes_in": len(html),
+            }
+        result = extract_html(html)
+        if result.parse_failed:
+            return {**_FAILED, "error": result.error, "bytes_in": len(html)}
+        return {
+            "route": "html",
+            "raw_text": result.raw_text,
+            "title": result.title,
+            "tagged_text": None,
+            "blocks": [vars(b) for b in result.blocks],
+            "parse_failed": False,
+            "error": None,
+            "bytes_in": len(html),
+        }
+    if text is not None:
+        # plain-text passthrough, unaltered (extracted_text.py:109-111)
+        return {
+            "route": "plain",
+            "raw_text": text,
+            "title": None,
+            "tagged_text": None,
+            "blocks": None,
+            "parse_failed": False,
+            "error": None,
+            "bytes_in": len(text.encode("utf-8")),
+        }
+    return {**_FAILED, "error": "empty_html"}
+
+
+def make_extract_udf(dpi: tuple[int, int] = (400, 400)):
+    @pandas_udf(EXTRACT_TYPE)
+    def extract_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+        out = [
+            _extract_one(h, t if isinstance(t, str) else None, dpi)
+            for h, t in zip(html, text)
+        ]
+        return pd.DataFrame(out)
+
+    return extract_udf
+
+
+def kept_blocks(blocks: Column) -> Column:
+    return F.filter(blocks, lambda b: b["kept"])
+
+
+def main_text(blocks: Column) -> Column:
+    """Ordered concatenation of kept block texts. Block arrays are
+    emitted in document order by the kernel; ``array_sort`` on
+    block_index makes the ordering contract explicit and
+    retry-independent (reference analog: ordered page join ' ',
+    extracted_text.py:58 / page_sequence.py:50-71)."""
+    ordered = F.array_sort(
+        kept_blocks(blocks),
+        lambda a, b: F.when(a["block_index"] < b["block_index"], -1)
+        .when(a["block_index"] > b["block_index"], 1)
+        .otherwise(0),
+    )
+    return F.array_join(F.transform(ordered, lambda b: b["text"]), "\n")
+
+
+def extract_stage(df: DataFrame, dpi: tuple[int, int] = (400, 400)) -> DataFrame:
+    """Add extraction columns to a pages DataFrame.
+
+    Emits:
+      - ``extracted_text``  the headline output (byte-identity target)
+      - ``is_tagged``       delimited-payload flag → ``__dps_txt`` naming
+      - ``title`` ``route`` ``parse_failed`` ``error``
+      - ``blocks`` + ``blocks_kept``/``blocks_dropped``/``bytes_in`` metrics
+    """
+    ext = make_extract_udf(dpi)
+    df = df.withColumn("_ext", ext(F.col("html"), F.col("text")))
+    e = F.col("_ext")
+    n_kept = F.size(kept_blocks(e["blocks"]))
+    n_blocks = F.size(e["blocks"])
+    return (
+        df.withColumn("route", e["route"])
+        .withColumn("title", e["title"])
+        .withColumn("parse_failed", e["parse_failed"])
+        .withColumn("error", e["error"])
+        .withColumn("bytes_in", e["bytes_in"])
+        .withColumn("blocks", e["blocks"])
+        .withColumn("is_tagged", e["route"] == F.lit("tagged"))
+        .withColumn(
+            "blocks_kept", F.when(e["blocks"].isNotNull(), n_kept).otherwise(F.lit(0))
+        )
+        .withColumn(
+            "blocks_dropped",
+            F.when(e["blocks"].isNotNull(), n_blocks - n_kept).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "extracted_text",
+            F.when(e["parse_failed"], F.lit(None).cast("string"))
+            .when(e["route"] == "tagged", e["tagged_text"])
+            .when(e["route"] == "plain", e["raw_text"])
+            # html route: boilerplate detected ⇒ main-content text;
+            # clean page ⇒ raw markup-strip bytes (get_text parity)
+            .when(F.col("blocks_dropped") > 0, main_text(e["blocks"]))
+            .otherwise(e["raw_text"]),
+        )
+        .drop("_ext")
+    )

@@ -1,0 +1,153 @@
+"""Config-driven ordered stage composition — the Spark re-expression
+of the reference's indexer chain.
+
+Reference model: ``IndexerContext.run(names)`` folds
+``doc.update(indexer(ctx))`` over an ordered, per-model list of named
+indexers loaded from a registry (indexers/__init__.py:82-101, registry
+:47-49, per-model lists indexers.yml:1-29, late binding web.py:376-381).
+
+Spark model: each "indexer" is a pure ``(DataFrame, conf) → DataFrame``
+stage registered in :data:`STAGES`; a configured name list composes
+them with ``functools.reduce``. Later stages see earlier stages'
+columns (the ``doc.update`` accumulation). Catalyst fuses the whole
+chain into one WholeStageCodegen pipeline — stage boundaries are
+logical, not physical.
+
+Unknown / duplicate stage names fail fast at composition time
+(reference analog: parse_indexers_param validation, web.py:254-289).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solrizer_spark.functions.datetime_fns import solr_timestamp
+from solrizer_spark.functions.language import language_name_col, language_suffix_col
+from solrizer_spark.operators.doc_json import doc_json_stage
+from solrizer_spark.operators.extract import extract_stage
+
+Stage = Callable[[DataFrame, dict], DataFrame]
+
+
+# --------------------------------------------------------------------------
+# field-chain stages (each one mirrors a reference indexer)
+# --------------------------------------------------------------------------
+
+def stage_extract(df: DataFrame, conf: dict) -> DataFrame:
+    """html → extraction struct (extracted_text indexer analog,
+    extracted_text.py:44-61). The only Python stage."""
+    return extract_stage(df, dpi=conf.get("dpi", (400, 400)))
+
+
+def stage_content_model(df: DataFrame, conf: dict) -> DataFrame:
+    """Identity + model fields (content_model.py:141-179: ``id``,
+    ``content_model_name__str``, ``described_by__uri``). Our content
+    model is the payload route (html/plain/tagged/failed) — the analog
+    of guess_model (web.py:357-362)."""
+    return (
+        df.withColumn("id", F.col("url"))
+        .withColumn("content_model_name__str", F.col("route"))
+        .withColumn("described_by__uri", F.col("url"))
+    )
+
+
+def stage_discoverability(df: DataFrame, conf: dict) -> DataFrame:
+    """Boolean access flags (discoverability.py:23-30 semantics:
+    membership tests + conjunction). Published ⇔ extraction produced
+    text; hidden ⇔ parse failure; top-level ⇔ url path depth ≤ 2."""
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    depth = F.size(F.split(path, "/")) - 1
+    df = (
+        df.withColumn("is_published", F.col("extracted_text").isNotNull())
+        .withColumn("is_hidden", F.col("parse_failed"))
+        .withColumn("is_top_level", depth <= F.lit(2))
+    )
+    return df.withColumn(
+        "is_discoverable",
+        F.col("is_top_level") & F.col("is_published") & ~F.col("is_hidden"),
+    )
+
+
+def stage_dates(df: DataFrame, conf: dict) -> DataFrame:
+    """Timestamp → Solr UTC Z-notation (dates indexer / solr_datetime,
+    utils.py:4-23)."""
+    return df.withColumn("warc_ts__time", solr_timestamp("warc_ts"))
+
+
+def stage_facets(df: DataFrame, conf: dict) -> DataFrame:
+    """Facet columns (facets.py:38-49 chain; LanguageFacet
+    faceters.py:220-237 via language_name). Null lang ⇒ facet omitted
+    (facets.py:44-47)."""
+    return df.withColumn("language__facet", language_name_col("lang")).withColumn(
+        "lang_suffix", language_suffix_col("lang")
+    )
+
+
+def stage_aggregate_fields(df: DataFrame, conf: dict) -> DataFrame:
+    """Omnibus multivalued fields (aggregate_fields.py:22-44 +
+    indexer-settings.yml:7-26). The reference runs jq path queries over
+    the accumulated doc and concatenates non-null results; our schema
+    is static so the jq programs expand at plan time to column refs,
+    and the non-null filter is ``array_compact``."""
+    return df.withColumn(
+        "text", F.array_compact(F.array(F.col("title"), F.col("extracted_text")))
+    ).withColumn(
+        "identifier",
+        F.array_compact(F.array(F.col("id"), F.col("described_by__uri"))),
+    )
+
+
+def stage_doc(df: DataFrame, conf: dict) -> DataFrame:
+    """Canonical sorted-key JSON doc (web.py:405)."""
+    return doc_json_stage(df, conf)
+
+
+STAGES: dict[str, Stage] = {
+    "extract": stage_extract,
+    "content_model": stage_content_model,
+    "discoverability": stage_discoverability,
+    "dates": stage_dates,
+    "facets": stage_facets,
+    "aggregate_fields": stage_aggregate_fields,
+    "doc": stage_doc,
+}
+
+#: Default chain — same shape as the reference's Item list
+#: (indexers.yml:1-10), with extraction first because downstream
+#: stages read its columns.
+DEFAULT_CHAIN = [
+    "extract",
+    "content_model",
+    "discoverability",
+    "dates",
+    "facets",
+    "aggregate_fields",
+    "doc",
+]
+
+
+def build_pipeline(names: list[str] | None = None, conf: dict | None = None) -> Callable[[DataFrame], DataFrame]:
+    """Compose named stages into one DataFrame transform. Validates
+    names up front (unknown / duplicate → ValueError, the
+    parse_indexers_param analog)."""
+    names = list(names or DEFAULT_CHAIN)
+    conf = conf or {}
+    unknown = [n for n in names if n not in STAGES]
+    if unknown:
+        raise ValueError(f"unknown stage(s): {unknown}; available: {sorted(STAGES)}")
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate stage(s): {sorted(dupes)}")
+
+    def pipeline(df: DataFrame) -> DataFrame:
+        return reduce(lambda acc, name: STAGES[name](acc, conf), names, df)
+
+    return pipeline
+
+
+def run_chain(df: DataFrame, names: list[str] | None = None, conf: dict | None = None) -> DataFrame:
+    return build_pipeline(names, conf)(df)

@@ -1,0 +1,61 @@
+"""Pages/docs table IO with a table-format seam.
+
+Production target is an Iceberg catalog (`spark.read.format('iceberg')`,
+`df.writeTo(...)`) — partition spec ``bucket(N, url)`` for scan-side
+bucket pruning plus ``days(warc_ts)`` for crawl-window pruning, and
+snapshot-atomic commits for the manifest-last resume protocol.
+
+This sandbox ships no Iceberg runtime jar, so the default
+implementation is plain parquet with identical schemas and the same
+call signatures; the format is a config knob, not a code change.
+Column pruning and predicate pushdown behave the same way for both
+(verify with ``.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_pages(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
+    """Read the pages table. ``source`` is a path (parquet) or a
+    catalog table name (iceberg). ``fmt``: auto | parquet | iceberg."""
+    if fmt == "auto":
+        fmt = "iceberg" if ("." in source and "/" not in source) else "parquet"
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    fmt: str = "auto",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a table (docs / manifests / metrics).
+
+    parquet path: dynamic partition overwrite so a resumed run only
+    replaces the buckets it recomputed (idempotent rerun semantics);
+    iceberg: ``createOrReplace`` / ``append`` on the catalog table.
+    """
+    if fmt == "auto":
+        fmt = "iceberg" if ("." in target and "/" not in target) else "parquet"
+    if fmt == "iceberg":
+        writer = df.writeTo(target)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return
+    w = df.write.mode(mode)
+    if mode == "overwrite":
+        w = w.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)

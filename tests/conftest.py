@@ -28,7 +28,7 @@ def corpus_dir(tmp_path_factory):
     """Small deterministic pages corpus written once per session."""
     from solrizer_spark.corpus.generator import write_corpus
 
-    path = str(tmp_path_factory.mktemp("corpus") / "pages")
-    write_corpus(path, n_pages=200, seed=42)
-    yield path
-    shutil.rmtree(path, ignore_errors=True)
+    base = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(base, n_pages=200, seed=42)  # → {base}/pages, {base}/golden
+    yield base
+    shutil.rmtree(base, ignore_errors=True)

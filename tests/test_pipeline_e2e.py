@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests over a deterministic synthetic corpus —
+the Spark analog of the reference's mocked-repository HTTP e2e tests
+(tests/test_app.py:47-281), with golden byte-identity as the gate.
+"""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from job import run_job
+from solrizer_spark.plans.pipeline import build_pipeline
+
+
+@pytest.fixture(scope="module")
+def job_output(spark, corpus_dir):
+    out = tempfile.mkdtemp() + "/out"
+    stats = run_job(spark, os.path.join(corpus_dir, "pages"), out, n_buckets=16)
+    return out, stats
+
+
+@pytest.fixture(scope="module")
+def joined(spark, corpus_dir, job_output):
+    out, _ = job_output
+    docs = spark.read.parquet(out + "/docs")
+    golden = spark.read.parquet(os.path.join(corpus_dir, "golden"))
+    return docs.join(golden, "url").cache()
+
+
+def test_byte_identical_extracted_text(joined):
+    n = joined.count()
+    assert n == 200
+    mismatched = joined.where(
+        ~F.col("parse_failed")
+        & ~F.col("extracted_text").eqNullSafe(F.col("expected_text"))
+    ).count()
+    assert mismatched == 0
+
+
+def test_parse_failures_flagged_not_fatal(joined):
+    assert (
+        joined.where(
+            F.col("expect_parse_failed") != F.col("parse_failed")
+        ).count()
+        == 0
+    )
+    # failed rows are present in the sink (quarantined, not dropped)
+    assert joined.where(F.col("parse_failed")).count() > 0
+
+
+def test_dps_txt_switch(joined):
+    """Tagged payloads flip the field name (extracted_text.py:51-56)."""
+    rows = joined.where(F.col("tagged")).select("doc").collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r.doc)
+        assert "extracted_text__dps_txt" in doc
+        assert "extracted_text__txt" not in doc
+
+
+def test_doc_json_canonical(joined):
+    """Valid JSON, sorted keys (web.py:405), nulls omitted."""
+    for r in joined.limit(50).select("doc").collect():
+        doc = json.loads(r.doc)
+        keys = list(doc.keys())
+        assert keys == sorted(keys)
+        assert None not in doc.values()
+
+
+def test_doc_fields(joined):
+    r = joined.where(
+        (F.col("payload_class") == "boilerplate-html") & ~F.col("parse_failed")
+    ).select("doc", "lang", "expected_title").first()
+    doc = json.loads(r.doc)
+    assert doc["id"].startswith("https://")
+    assert doc["_root_"] == doc["id"]
+    assert doc["content_model_name__str"] == "html"
+    assert doc["warc_ts__time"].endswith("Z")
+    assert isinstance(doc["is_discoverable"], bool)
+    assert doc["text"]  # aggregate omnibus field
+    # language-suffixed dynamic title field name
+    suffix = {"en": "_en", "de": "_de", "es": "_es", "fr": "_fr", "zh": "_zh",
+              "ger": "_de", "jpn": "_ja", "en-US": "_en_us", "ja-Latn": "_ja_latn"}[r.lang]
+    assert doc[f"title__txt{suffix}"] == r.expected_title
+
+
+def test_language_facet(joined):
+    rows = joined.select("lang", "doc").collect()
+    names = {"en": "English", "de": "German", "es": "Spanish", "fr": "French",
+             "zh": "Chinese", "ger": "German", "jpn": "Japanese"}
+    for r in rows:
+        doc = json.loads(r.doc)
+        expected = names.get(r.lang, r.lang)  # unmatched tags pass through
+        assert doc["language__facet"] == expected
+
+
+def test_metrics_side_table(spark, job_output):
+    out, stats = job_output
+    metrics = spark.read.parquet(out + "/metrics")
+    total = metrics.agg(
+        F.sum("n_docs").alias("n"), F.sum("parse_failures").alias("pf")
+    ).first()
+    assert total.n == 200
+    assert total.pf == stats["counters"]["parse_failures"] > 0
+    assert metrics.where(F.col("blocks_dropped") > 0).count() > 0
+
+
+def test_manifest_complete(spark, job_output):
+    out, stats = job_output
+    m = spark.read.parquet(out + "/manifests")
+    assert m.where(F.col("status") == "complete").count() == m.count() > 0
+    assert m.agg(F.sum("n_docs")).first()[0] == 200
+
+
+def test_resume_skips_completed(spark, corpus_dir, job_output):
+    out, _ = job_output
+    stats2 = run_job(
+        spark, os.path.join(corpus_dir, "pages"), out, n_buckets=16, resume=True
+    )
+    assert stats2["skipped_buckets"] == 16
+    assert stats2["n_docs"] == 0
+
+
+def test_unknown_stage_fails_fast():
+    with pytest.raises(ValueError, match="unknown stage"):
+        build_pipeline(["extract", "nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        build_pipeline(["extract", "extract"])
+
+
+def test_deterministic_across_runs(spark, corpus_dir, job_output):
+    """Same input → byte-identical extracted text on an independent run
+    (task retries / speculative re-execution safety)."""
+    out1, _ = job_output
+    out2 = tempfile.mkdtemp() + "/out2"
+    run_job(spark, os.path.join(corpus_dir, "pages"), out2, n_buckets=16)
+    d1 = spark.read.parquet(out1 + "/docs").select("url", "extracted_text", "doc")
+    d2 = spark.read.parquet(out2 + "/docs").select("url", "extracted_text", "doc")
+    assert d1.exceptAll(d2).count() == 0
+    assert d2.exceptAll(d1).count() == 0
