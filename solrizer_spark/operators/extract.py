@@ -63,6 +63,25 @@ EXTRACT_TYPE = T.StructType(
     ]
 )
 
+#: Fast-path schema: scalars only. Shipping the nested block array
+#: through Arrow costs ~9× the extraction kernel itself (measured:
+#: list-of-struct conversion dominates the batch), so the default
+#: stage resolves main-vs-raw text inside the kernel and sends back
+#: flat columns; the block-level detail is opt-in for debugging and
+#: classifier development.
+EXTRACT_FAST_TYPE = T.StructType(
+    [
+        T.StructField("route", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("parse_failed", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("bytes_in", T.IntegerType()),
+        T.StructField("blocks_kept", T.IntegerType()),
+        T.StructField("blocks_dropped", T.IntegerType()),
+    ]
+)
+
 _FAILED = {
     "route": "failed",
     "raw_text": None,
@@ -141,6 +160,47 @@ def make_extract_udf(dpi: tuple[int, int] = (400, 400)):
     return extract_udf
 
 
+def _resolve_text(rec: dict) -> str | None:
+    """Final extracted_text decision, kernel-side (fast path). Must
+    stay semantically identical to the Column logic in
+    :func:`extract_stage` detail mode (pinned by tests)."""
+    if rec["parse_failed"]:
+        return None
+    route = rec["route"]
+    if route == "tagged":
+        return rec["tagged_text"]
+    if route == "plain":
+        return rec["raw_text"]
+    blocks = rec["blocks"] or []
+    dropped = sum(1 for b in blocks if not b["kept"])
+    if dropped > 0:
+        return "\n".join(b["text"] for b in blocks if b["kept"])
+    return rec["raw_text"]
+
+
+def make_extract_fast_udf(dpi: tuple[int, int] = (400, 400)):
+    @pandas_udf(EXTRACT_FAST_TYPE)
+    def extract_fast_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+        # columnar accumulation: dict-of-lists beats list-of-dicts for
+        # the pandas→Arrow hop
+        cols: dict[str, list] = {f.name: [] for f in EXTRACT_FAST_TYPE.fields}
+        for h, t in zip(html, text):
+            rec = _extract_one(h, t if isinstance(t, str) else None, dpi)
+            blocks = rec["blocks"] or []
+            kept = sum(1 for b in blocks if b["kept"])
+            cols["route"].append(rec["route"])
+            cols["extracted_text"].append(_resolve_text(rec))
+            cols["title"].append(rec["title"])
+            cols["parse_failed"].append(rec["parse_failed"])
+            cols["error"].append(rec["error"])
+            cols["bytes_in"].append(rec["bytes_in"])
+            cols["blocks_kept"].append(kept)
+            cols["blocks_dropped"].append(len(blocks) - kept)
+        return pd.DataFrame(cols)
+
+    return extract_fast_udf
+
+
 def kept_blocks(blocks: Column) -> Column:
     return F.filter(blocks, lambda b: b["kept"])
 
@@ -160,15 +220,42 @@ def main_text(blocks: Column) -> Column:
     return F.array_join(F.transform(ordered, lambda b: b["text"]), "\n")
 
 
-def extract_stage(df: DataFrame, dpi: tuple[int, int] = (400, 400)) -> DataFrame:
+def extract_stage(
+    df: DataFrame,
+    dpi: tuple[int, int] = (400, 400),
+    include_blocks: bool = False,
+) -> DataFrame:
     """Add extraction columns to a pages DataFrame.
 
     Emits:
       - ``extracted_text``  the headline output (byte-identity target)
       - ``is_tagged``       delimited-payload flag → ``__dps_txt`` naming
       - ``title`` ``route`` ``parse_failed`` ``error``
-      - ``blocks`` + ``blocks_kept``/``blocks_dropped``/``bytes_in`` metrics
+      - ``blocks_kept``/``blocks_dropped``/``bytes_in`` metrics
+      - ``blocks``          per-block detail, only when ``include_blocks``
+
+    ``include_blocks=False`` (default) is the high-throughput path: the
+    kernel resolves extracted_text and only flat scalars cross the
+    Arrow boundary. ``include_blocks=True`` ships the scored block
+    array and assembles the text with Column expressions — same bytes
+    (pinned by tests), ~9× slower boundary, for debugging/inspection.
     """
+    if not include_blocks:
+        fast = make_extract_fast_udf(dpi)
+        df = df.withColumn("_ext", fast(F.col("html"), F.col("text")))
+        e = F.col("_ext")
+        return (
+            df.withColumn("route", e["route"])
+            .withColumn("title", e["title"])
+            .withColumn("parse_failed", e["parse_failed"])
+            .withColumn("error", e["error"])
+            .withColumn("bytes_in", e["bytes_in"])
+            .withColumn("is_tagged", e["route"] == F.lit("tagged"))
+            .withColumn("blocks_kept", e["blocks_kept"])
+            .withColumn("blocks_dropped", e["blocks_dropped"])
+            .withColumn("extracted_text", e["extracted_text"])
+            .drop("_ext")
+        )
     ext = make_extract_udf(dpi)
     df = df.withColumn("_ext", ext(F.col("html"), F.col("text")))
     e = F.col("_ext")

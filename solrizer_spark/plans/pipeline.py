@@ -40,7 +40,11 @@ Stage = Callable[[DataFrame, dict], DataFrame]
 def stage_extract(df: DataFrame, conf: dict) -> DataFrame:
     """html → extraction struct (extracted_text indexer analog,
     extracted_text.py:44-61). The only Python stage."""
-    return extract_stage(df, dpi=conf.get("dpi", (400, 400)))
+    return extract_stage(
+        df,
+        dpi=conf.get("dpi", (400, 400)),
+        include_blocks=conf.get("include_blocks", False),
+    )
 
 
 def stage_content_model(df: DataFrame, conf: dict) -> DataFrame:

@@ -140,3 +140,17 @@ def test_deterministic_across_runs(spark, corpus_dir, job_output):
     d2 = spark.read.parquet(out2 + "/docs").select("url", "extracted_text", "doc")
     assert d1.exceptAll(d2).count() == 0
     assert d2.exceptAll(d1).count() == 0
+
+
+def test_fast_and_detail_modes_identical(spark, corpus_dir):
+    """The kernel-side text resolution (fast path) must produce the
+    same bytes as the Column-expression assembly (detail path)."""
+    from solrizer_spark.operators.extract import extract_stage
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
+    cols = ["url", "extracted_text", "title", "route", "parse_failed",
+            "blocks_kept", "blocks_dropped"]
+    fast = extract_stage(pages, include_blocks=False).select(cols)
+    detail = extract_stage(pages, include_blocks=True).select(cols)
+    assert fast.exceptAll(detail).count() == 0
+    assert detail.exceptAll(fast).count() == 0
