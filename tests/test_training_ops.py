@@ -1,0 +1,168 @@
+"""Unit tests for the training-data operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "unrelated words entirely carrots potatoes turnips onions peppers"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from solrizer_spark.operators.dedup import exact_dedup
+
+    out = {r.canonical_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_word_shingles(spark):
+    from solrizer_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert got[0].s == ["a b c", "b c d"]
+    assert got[1].s == ["a b"]  # shorter than n → whole text
+
+
+def test_minhash_lsh_finds_near_dups_not_strangers(docs):
+    from solrizer_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, shingle_n=2, num_hashes=32, bands=16, threshold=0.4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # identical
+    assert (1, 3) in found and (2, 3) in found  # near dup
+    assert all(4 not in p and 5 not in p for p in found)
+
+
+def test_simhash_properties(docs):
+    from solrizer_spark.operators.dedup import simhash
+
+    rows = docs.select("doc_id", simhash("text", bits=32).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in rows}
+    assert by_id[1] == by_id[2]  # identical text → identical fingerprint
+    ham13 = bin(by_id[1] ^ by_id[3]).count("1")
+    ham15 = bin(by_id[1] ^ by_id[5]).count("1")
+    assert ham13 < ham15  # near dup closer than stranger
+
+
+def test_simhash_near_dup_pairs(docs):
+    from solrizer_spark.operators.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(docs, bits=32, max_hamming=6, chunks=8).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert (4, 5) not in found
+
+
+def test_cosine_and_topk(spark):
+    from solrizer_spark.operators.similarity import brute_force_topk, cosine
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = df.select(cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))).alias("c")).collect()
+    assert got[0].c == pytest.approx(1.0)
+    assert got[3].c == pytest.approx(-1.0)
+    top = brute_force_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+
+
+def test_lsh_bucket_scale_invariant(spark):
+    """Scaled vectors land in the same hyperplane bucket (sign-based)."""
+    from solrizer_spark.operators.similarity import hyperplane_bucket
+
+    rows = [(1, [0.5, -0.2, 0.8, 0.1]), (2, [1.0, -0.4, 1.6, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = df.select(hyperplane_bucket(F.col("embedding"), 6, 4).alias("b")).collect()
+    assert got[0].b == got[1].b
+
+
+def test_embedding_near_dup_pairs(spark):
+    from solrizer_spark.operators.similarity import embedding_near_dup_pairs
+
+    base = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(1, 6)]
+    dups = [(i + 100, [x * 1.001 for x in v]) for i, v in base[:2]]
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.9999, dims=8, band_bits=4, bands=4).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 101) in found and (2, 102) in found
+    assert all(r.cos_sim == pytest.approx(1.0) for r in pairs)
+
+
+def test_langid_and_quality(spark):
+    from solrizer_spark.functions.text_stats import langid, quality_score
+
+    rows = [
+        (1, "the cat is in the house and it is warm for now"),
+        (2, "der hund ist nicht in das haus und die katze"),
+        (3, "el perro es un animal y la casa es grande por los campos"),
+        (4, "xyzzy plugh qwerty asdf zxcv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.p for r in df.select("doc_id", langid("text").alias("p")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "es"
+    assert got[4] == "und"
+    q = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert q[1] > q[4]  # english prose scores above junk
+
+
+def test_fingerprint_deterministic(spark):
+    from solrizer_spark.functions.text_stats import rolling_fingerprint
+
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "text string")
+    got = [r.f for r in df.select(rolling_fingerprint("text").alias("f")).collect()]
+    assert got[0] == got[1] == 1677554  # pinned cross-engine value
+    assert got[2] != got[0]
+
+
+def test_multimodal_metadata_and_stub(spark):
+    from solrizer_spark.operators.multimodal import (
+        decode_pixels,
+        media_metadata_stage,
+        parse_media_header,
+    )
+
+    rows = [
+        (1, b"IMG10006400004803payload-bytes"),
+        (2, b"AUD10441000001234567somebytes"),
+        (3, b"VID10012800009600050movie"),
+        (4, b"JUNKnotvalid"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.asset_id: r.media_meta for r in media_metadata_stage(df).collect()}
+    assert out[1].kind == "image" and out[1].width == 640 and out[1].height == 480
+    assert out[2].kind == "audio" and out[2].sample_rate == 44100
+    assert out[3].kind == "video" and out[3].n_frames == 50
+    assert out[4].valid is False and out[5].valid is False
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"IMG1...")
+    assert parse_media_header(b"IMG1000640000480" + b"3")["valid"] is True
+
+
+def test_frame_sample_fanout(spark):
+    from solrizer_spark.operators.multimodal import frame_sample_stage
+
+    df = spark.createDataFrame(
+        [(7, b"VID1000640000480" + b"0025" + b"x" * 10)],
+        "asset_id long, payload binary",
+    )
+    frames = frame_sample_stage(df, every_n=10).collect()
+    assert [r.frame_index for r in frames] == [0, 10, 20]
+    assert len({r.frame_fingerprint for r in frames}) == 3
