@@ -338,6 +338,107 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stage(assets, every_n=10)
 
 
+def q_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handle parse + 3 output forms (handles/__init__.py:54-101,
+    indexers/handles.py:25-49) over synthesized handle strings in all
+    four accepted input forms plus an unparseable one."""
+    from solrizer_spark.functions.handles import handle_fields
+
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey").cast("string")
+    raw = (
+        F.when(F.col("o_orderkey") % 17 == 0, F.concat(F.lit("invalid"), k))
+        .when(F.col("o_orderkey") % 4 == 0, F.concat(F.lit("hdl:1903.1/"), k))
+        .when(F.col("o_orderkey") % 4 == 1, F.concat(F.lit("info:hdl/1903.1/"), k))
+        .when(F.col("o_orderkey") % 4 == 2, F.concat(F.lit("http://hdl.handle.net/1903.1/"), k))
+        .otherwise(F.concat(F.lit("1903.1/"), k))
+    )
+    h = handle_fields(raw)
+    return orders.select(
+        "o_orderkey",
+        h["handle_id"].alias("handle_id"),
+        h["handle_uri"].alias("handle_uri"),
+        h["handle_proxied_uri"].alias("handle_proxied_uri"),
+    )
+
+
+def q_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI → CURIE shortening (shorten_uri, content_model.py:374-383)."""
+    from solrizer_spark.functions.uris import shorten_uri
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id").cast("string")
+    uri = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("http://purl.org/dc/terms/title"), k))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("http://pcdm.org/models#Object"), k))
+        .otherwise(F.concat(F.lit("http://example.org/other/"), k))
+    )
+    return docs.select("doc_id", shorten_uri(uri).alias("curie"))
+
+
+def q_display_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-tier display-value ordering + language-tag embedding
+    (get_display_values, content_model.py:278-293)."""
+    from solrizer_spark.functions.uris import display_values
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    vals = F.array(
+        F.struct(F.element_at(toks, 1).alias("value"), F.lit("en").alias("lang")),
+        F.struct(F.element_at(toks, 2).alias("value"), F.lit("de").alias("lang")),
+        F.struct(F.element_at(toks, 3).alias("value"), F.lit(None).cast("string").alias("lang")),
+        F.struct(F.element_at(toks, 4).alias("value"), F.lit("fr").alias("lang")),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(display_values(vals, F.col("lang")), "|").alias("display"),
+    )
+
+
+def q_iiif_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IIIF identifier encoding (iiif_links.py:30-43)."""
+    from solrizer_spark.functions.uris import iiif_identifier
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    path = F.concat(
+        F.lit("/images/"), F.col("doc_id").cast("string"),
+        F.lit("/page/"), (F.col("doc_id") % 7).cast("string"),
+    )
+    return docs.select("doc_id", iiif_identifier(path).alias("iiif_id"))
+
+
+def q_atomic_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-vs-new snapshot atomic update diff (solr.py:27-58):
+    modified / deleted / added rows over a deterministic mutation of
+    the documents table."""
+    from solrizer_spark.operators.atomic import atomic_diff
+
+    docs = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text", "lang"
+    )
+    new = (
+        docs.where(F.col("id") % 13 != 0)  # deletions
+        .withColumn(
+            "text",
+            F.when(F.col("id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("id") % 11 == 0, F.lit("uk")).otherwise(F.col("lang")),
+        )
+    )
+    added = docs.where(F.col("id") % 19 == 0).select(
+        (F.col("id") + 200000).alias("id"), "text", "lang"
+    )
+    new = new.unionByName(added)
+    diff = atomic_diff(docs, new, id_col="id", fields=["text", "lang"])
+    return diff.select(
+        "id",
+        "op",
+        F.explode_outer(F.col("updates")).alias("field", "set_json"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -359,6 +460,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
+        "handles": q_handles,
+        "curie": q_curie,
+        "display_values": q_display_values,
+        "iiif_identifier": q_iiif_identifier,
+        "atomic_diff": q_atomic_diff,
     }
 
 
@@ -589,6 +695,47 @@ def oracle_sql() -> dict[str, str]:
             " || lpad(CAST(doc_id % 50 + 20 AS VARCHAR), 4, '0')"
             " || CAST(f AS VARCHAR)) AS frame_fingerprint "
             "FROM documents, UNNEST(generate_series(0, doc_id % 50 + 20 - 1, 10)) AS u(f)"
+        ),
+        "handles": (
+            "SELECT o_orderkey, "
+            "CASE WHEN o_orderkey%17=0 THEN NULL ELSE '1903.1/'||o_orderkey END AS handle_id, "
+            "CASE WHEN o_orderkey%17=0 THEN NULL ELSE 'hdl:1903.1/'||o_orderkey END AS handle_uri, "
+            "CASE WHEN o_orderkey%17=0 THEN NULL "
+            "ELSE 'http://hdl.handle.net/1903.1/'||o_orderkey END AS handle_proxied_uri "
+            "FROM orders"
+        ),
+        "curie": (
+            "SELECT doc_id, CASE "
+            "WHEN doc_id%3=0 THEN 'dcterms:title'||doc_id "
+            "WHEN doc_id%3=1 THEN 'pcdm:Object'||doc_id "
+            "ELSE 'http://example.org/other/'||doc_id END AS curie FROM documents"
+        ),
+        "display_values": (
+            "SELECT doc_id, array_to_string(list_transform(list_sort(["
+            " k1||chr(1)||'[@en]'||t1, k2||chr(1)||'[@de]'||t2,"
+            " k3||chr(1)||t3, k4||chr(1)||'[@fr]'||t4"
+            "]), x -> string_split(x, chr(1))[2]), '|') AS display FROM ("
+            " SELECT doc_id,"
+            " CASE WHEN lang='en' THEN '1,'||lower(t1) ELSE '2,en,'||lower(t1) END AS k1,"
+            " CASE WHEN lang='de' THEN '1,'||lower(t2) ELSE '2,de,'||lower(t2) END AS k2,"
+            " '3,'||lower(t3) AS k3,"
+            " CASE WHEN lang='fr' THEN '1,'||lower(t4) ELSE '2,fr,'||lower(t4) END AS k4,"
+            " t1, t2, t3, t4 FROM ("
+            "  SELECT doc_id, lang, t[1] AS t1, t[2] AS t2, t[3] AS t3, t[4] AS t4"
+            "  FROM (SELECT doc_id, lang, str_split(text,' ') AS t FROM documents)))"
+        ),
+        "iiif_identifier": (
+            "SELECT doc_id, 'iiif:images:'||doc_id||':page:'||(doc_id%7) AS iiif_id "
+            "FROM documents"
+        ),
+        "atomic_diff": (
+            "SELECT doc_id AS id, 'update' AS op, 'text' AS field, "
+            "'{\"set\":\"'||text||' v2\"}' AS set_json FROM documents "
+            "WHERE doc_id%13!=0 AND doc_id%7=0 "
+            "UNION ALL SELECT doc_id, 'update', 'lang', '{\"set\":\"uk\"}' "
+            "FROM documents WHERE doc_id%13!=0 AND doc_id%11=0 "
+            "UNION ALL SELECT doc_id, 'delete', NULL, NULL FROM documents WHERE doc_id%13=0 "
+            "UNION ALL SELECT doc_id+200000, 'add', NULL, NULL FROM documents WHERE doc_id%19=0"
         ),
     }
 

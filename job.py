@@ -56,8 +56,8 @@ DOC_COLUMNS = [
     "is_hidden",
     "is_top_level",
     "is_discoverable",
-    "text",
-    "identifier",
+    "agg_text",
+    "agg_identifier",
     "doc",
     "parse_failed",
     "error",

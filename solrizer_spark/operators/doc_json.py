@@ -51,25 +51,43 @@ def assemble_doc(entries: list[Column]) -> Column:
 
 def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
     """Assemble ``doc`` from the field columns produced by the chain
-    stages (plans/pipeline.py). Field inventory mirrors FIXTURES.md §2."""
+    stages (plans/pipeline.py). Field inventory mirrors FIXTURES.md §2.
+
+    Only fields whose producing stage actually ran (column present)
+    are emitted — the reference's doc likewise contains exactly what
+    the configured indexers for that model produced
+    (indexers/__init__.py:82-101 fold + per-model lists).
+    """
+    cols = set(df.columns)
+    entries: list[Column] = []
+
+    def add(needed: set[str], entry_fn) -> None:
+        if needed <= cols:
+            entries.append(entry_fn())
+
     lang_sfx = F.col("lang_suffix")
-    entries = [
-        json_entry("id", F.col("id")),
-        json_entry("_root_", F.col("id")),  # flat corpus: url is the root (root.py:45-55 analog)
-        json_entry("content_model_name__str", F.col("content_model_name__str")),
-        json_entry("described_by__uri", F.col("described_by__uri")),
-        # extracted text: delimited-payload pages flip the field name
-        # (extracted_text.py:51-56)
-        json_entry(
+    add({"id"}, lambda: json_entry("id", F.col("id")))
+    # flat corpus: url is the root (root.py:45-55 analog)
+    add({"id"}, lambda: json_entry("_root_", F.col("id")))
+    add({"content_model_name__str"}, lambda: json_entry("content_model_name__str", F.col("content_model_name__str")))
+    add({"described_by__uri"}, lambda: json_entry("described_by__uri", F.col("described_by__uri")))
+    # extracted text: delimited-payload pages flip the field name
+    # (extracted_text.py:51-56)
+    add(
+        {"is_tagged", "extracted_text"},
+        lambda: json_entry(
             F.when(F.col("is_tagged"), F.lit("extracted_text__dps_txt")).otherwise(
                 F.lit("extracted_text__txt")
             ),
             F.col("extracted_text"),
         ),
-        # title is a language-tagged data property → per-language text
-        # field name (content_model.py:263-275)
-        json_entry(F.concat(F.lit("title__txt"), lang_sfx), F.col("title")),
-        json_entry(
+    )
+    # title is a language-tagged data property → per-language text
+    # field name (content_model.py:263-275)
+    add({"title", "lang_suffix"}, lambda: json_entry(F.concat(F.lit("title__txt"), lang_sfx), F.col("title")))
+    add(
+        {"title", "lang_suffix"},
+        lambda: json_entry(
             "title__display",
             F.when(
                 F.col("title").isNotNull() & (lang_sfx != ""),
@@ -81,13 +99,11 @@ def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
                 ),
             ).otherwise(F.col("title")),
         ),
-        json_entry("language__facet", F.col("language__facet")),
-        json_entry("warc_ts__time", F.col("warc_ts__time")),
-        json_entry("is_published", F.col("is_published")),
-        json_entry("is_hidden", F.col("is_hidden")),
-        json_entry("is_top_level", F.col("is_top_level")),
-        json_entry("is_discoverable", F.col("is_discoverable")),
-        json_entry_array("text", F.col("text")),
-        json_entry_array("identifier", F.col("identifier")),
-    ]
+    )
+    add({"language__facet"}, lambda: json_entry("language__facet", F.col("language__facet")))
+    add({"warc_ts__time"}, lambda: json_entry("warc_ts__time", F.col("warc_ts__time")))
+    for flag in ("is_published", "is_hidden", "is_top_level", "is_discoverable"):
+        add({flag}, lambda flag=flag: json_entry(flag, F.col(flag)))
+    add({"agg_text"}, lambda: json_entry_array("text", F.col("agg_text")))
+    add({"agg_identifier"}, lambda: json_entry_array("identifier", F.col("agg_identifier")))
     return df.withColumn("doc", assemble_doc(entries))

@@ -96,11 +96,13 @@ def stage_aggregate_fields(df: DataFrame, conf: dict) -> DataFrame:
     indexer-settings.yml:7-26). The reference runs jq path queries over
     the accumulated doc and concatenates non-null results; our schema
     is static so the jq programs expand at plan time to column refs,
-    and the non-null filter is ``array_compact``."""
+    and the non-null filter is ``array_compact``. Column names carry
+    an ``agg_`` prefix (the input table already owns ``text``); the
+    doc JSON keys are the reference's ``text``/``identifier``."""
     return df.withColumn(
-        "text", F.array_compact(F.array(F.col("title"), F.col("extracted_text")))
+        "agg_text", F.array_compact(F.array(F.col("title"), F.col("extracted_text")))
     ).withColumn(
-        "identifier",
+        "agg_identifier",
         F.array_compact(F.array(F.col("id"), F.col("described_by__uri"))),
     )
 
@@ -155,3 +157,49 @@ def build_pipeline(names: list[str] | None = None, conf: dict | None = None) -> 
 
 def run_chain(df: DataFrame, names: list[str] | None = None, conf: dict | None = None) -> DataFrame:
     return build_pipeline(names, conf)(df)
+
+
+#: Per-content-model stage lists — the analog of the reference's
+#: per-model indexer configuration (indexers.yml:1-29) with the
+#: ``__default__`` fallback (web.py:298-300,376-381). The extract
+#: stage doubles as the model guesser (route column ≈ guess_model).
+DEFAULT_MODEL_CHAINS: dict[str, list[str]] = {
+    "html": ["content_model", "discoverability", "dates", "facets", "aggregate_fields", "doc"],
+    "tagged": ["content_model", "discoverability", "dates", "facets", "aggregate_fields", "doc"],
+    "plain": ["content_model", "discoverability", "dates", "facets", "aggregate_fields", "doc"],
+    "__default__": ["content_model", "dates", "doc"],
+}
+
+
+def run_model_chains(
+    df: DataFrame,
+    chains: dict[str, list[str]] | None = None,
+    conf: dict | None = None,
+    route_col: str = "route",
+) -> DataFrame:
+    """Per-model dispatch: extraction classifies each row into a
+    content model (route), each model runs its own configured stage
+    list, and the per-model outputs are merged with
+    ``unionByName(allowMissingColumns=True)`` — so a model whose chain
+    skips a stage simply has nulls for that stage's columns.
+
+    Catalyst sees N filtered branches over one cached scan; each
+    branch is its own WholeStageCodegen pipeline. Models not named in
+    ``chains`` take the ``__default__`` chain.
+    """
+    chains = chains or DEFAULT_MODEL_CHAINS
+    conf = conf or {}
+    extracted = STAGES["extract"](df, conf)
+    named = {k: v for k, v in chains.items() if k != "__default__"}
+    default_chain = chains.get("__default__")
+    branches = []
+    for model, names in named.items():
+        branch = extracted.where(F.col(route_col) == model)
+        branches.append(build_pipeline(names, conf)(branch))
+    if default_chain is not None:
+        rest = extracted.where(~F.col(route_col).isin(*named.keys()))
+        branches.append(build_pipeline(default_chain, conf)(rest))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out

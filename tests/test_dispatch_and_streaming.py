@@ -1,0 +1,64 @@
+"""Per-model dispatch and incremental streaming tests."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_model_dispatch_unions_branches(spark, corpus_dir):
+    from solrizer_spark.plans.pipeline import run_model_chains
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
+    chains = {
+        "html": ["content_model", "discoverability", "dates", "facets",
+                 "aggregate_fields", "doc"],
+        "plain": ["content_model", "dates", "facets", "aggregate_fields", "doc"],
+        "__default__": ["content_model", "dates", "facets", "doc"],
+    }
+    out = run_model_chains(pages, chains).cache()
+    assert out.count() == pages.count()  # no rows lost in the union
+    # html branch ran discoverability; plain branch did not (nulls)
+    assert out.where((F.col("route") == "html") & F.col("is_published").isNull()).count() == 0
+    assert out.where((F.col("route") == "plain") & F.col("is_published").isNotNull()).count() == 0
+    # default branch (tagged/failed) still has the doc column
+    assert out.where(F.col("route") == "tagged").select("doc").first().doc is not None
+    out.unpersist()
+
+
+def test_stream_extract_incremental(spark, corpus_dir, tmp_path):
+    """AvailableNow streaming processes only new files per pass and
+    matches the batch chain output byte-for-byte."""
+    from solrizer_spark.corpus.generator import write_corpus
+    from solrizer_spark.streaming.incremental import stream_extract
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # first arrival: 60 pages
+    first = tempfile.mkdtemp()
+    write_corpus(first, n_pages=60, seed=42)
+    os.rename(os.path.join(first, "pages", "part-00000.parquet"), os.path.join(src, "a.parquet"))
+
+    stream_extract(spark, src, out, ckpt, n_buckets=8)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 60
+
+    # second arrival: 40 more pages (different seed → different urls)
+    second = tempfile.mkdtemp()
+    write_corpus(second, n_pages=40, seed=7)
+    os.rename(os.path.join(second, "pages", "part-00000.parquet"), os.path.join(src, "b.parquet"))
+
+    stream_extract(spark, src, out, ckpt, n_buckets=8)
+    docs = spark.read.parquet(out)
+    assert docs.count() == 100  # only the 40 new rows appended
+
+    # parity with the batch chain on the same input
+    from solrizer_spark.plans.pipeline import run_chain
+
+    batch = run_chain(spark.read.parquet(src)).select("url", "extracted_text", "doc")
+    stream_sel = docs.select("url", "extracted_text", "doc")
+    assert batch.exceptAll(stream_sel).count() == 0
+    assert stream_sel.exceptAll(batch).count() == 0
