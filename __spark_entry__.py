@@ -439,6 +439,35 @@ def q_atomic_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edtf_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDTF → Solr DateRange + qualifier flags + precision
+    (dates.py:46-141 semantics; corpus docs/EDTFtoDateRange.md) over
+    deterministically synthesized EDTF strings."""
+    from solrizer_spark.operators.dates import edtf_stage
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    y = (F.col("doc_id") % 200 + 1900).cast("string")
+    y2 = (F.col("doc_id") % 200 + 1902).cast("string")
+    edtf = (
+        F.when(F.col("doc_id") % 8 == 0, y)
+        .when(F.col("doc_id") % 8 == 1, F.concat(y, F.lit("-06")))
+        .when(F.col("doc_id") % 8 == 2, F.concat(y, F.lit("-06-15")))
+        .when(F.col("doc_id") % 8 == 3, F.concat(y, F.lit("/"), y2))
+        .when(F.col("doc_id") % 8 == 4, F.concat(y, F.lit("-21")))
+        .when(F.col("doc_id") % 8 == 5, F.concat(y, F.lit("?")))
+        .when(F.col("doc_id") % 8 == 6, F.lit("19XX"))
+        .otherwise(F.concat(F.lit("../"), y))
+    )
+    out = edtf_stage(docs.withColumn("date__edtf", edtf), "date__edtf")
+    return out.select(
+        "doc_id",
+        "date__edtf",
+        F.col("date__dt").alias("dt"),
+        F.col("date__dt_is_uncertain").alias("is_uncertain"),
+        F.col("date__dt_precision__int").alias("precision"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -465,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "display_values": q_display_values,
         "iiif_identifier": q_iiif_identifier,
         "atomic_diff": q_atomic_diff,
+        "edtf_dates": q_edtf_dates,
     }
 
 
@@ -736,6 +766,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id%13!=0 AND doc_id%11=0 "
             "UNION ALL SELECT doc_id, 'delete', NULL, NULL FROM documents WHERE doc_id%13=0 "
             "UNION ALL SELECT doc_id+200000, 'add', NULL, NULL FROM documents WHERE doc_id%19=0"
+        ),
+        "edtf_dates": (
+            "SELECT doc_id, "
+            "CASE doc_id%8"
+            " WHEN 0 THEN y WHEN 1 THEN y||'-06' WHEN 2 THEN y||'-06-15'"
+            " WHEN 3 THEN y||'/'||y2 WHEN 4 THEN y||'-21' WHEN 5 THEN y||'?'"
+            " WHEN 6 THEN '19XX' ELSE '../'||y END AS date__edtf, "
+            "CASE doc_id%8"
+            " WHEN 0 THEN y WHEN 1 THEN y||'-06' WHEN 2 THEN y||'-06-15'"
+            " WHEN 3 THEN '['||y||' TO '||y2||']'"
+            " WHEN 4 THEN '['||y||'-03-01 TO '||y||'-05-31]'"
+            " WHEN 5 THEN y WHEN 6 THEN '[1900-01-01 TO 1999-12-31]'"
+            " ELSE '[* TO '||y||']' END AS dt, "
+            "(doc_id%8 = 5) AS is_uncertain, "
+            "CASE doc_id%8 WHEN 4 THEN NULL WHEN 6 THEN 2"
+            " WHEN 1 THEN 5 WHEN 2 THEN 6 ELSE 4 END AS precision "
+            "FROM (SELECT doc_id, CAST(doc_id%200+1900 AS VARCHAR) AS y,"
+            " CAST(doc_id%200+1902 AS VARCHAR) AS y2 FROM documents)"
         ),
     }
 
