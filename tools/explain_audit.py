@@ -1,0 +1,104 @@
+"""Physical-plan audit: assert the plans we ship are the plans we
+want (SURVEY.md §4.2). Run: python tools/explain_audit.py
+
+Checks:
+1. Parquet scan prunes columns (resume check must not read `html`)
+   and pushes predicates (PushedFilters non-empty).
+2. The full field chain contains exactly ONE ArrowEvalPython node
+   (one JVM↔Python crossing) and WholeStageCodegen spans around it.
+3. Brute-force top-k compiles to TakeOrderedAndProject — no global
+   sort shuffle.
+4. The vocab dim join broadcasts (BroadcastHashJoin, no
+   SortMergeJoin).
+5. minhash LSH pair generation contains no CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def main() -> int:
+    import __spark_entry__ as em
+    from solrizer_spark.functions.language import lang_names_df
+    from solrizer_spark.operators.dedup import minhash_lsh_pairs
+    from solrizer_spark.operators.similarity import brute_force_topk
+    from solrizer_spark.plans.pipeline import run_chain
+    from solrizer_spark.session import get_spark
+
+    sf = "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain-audit", cpus=8, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+
+    def check(name, cond, detail=""):
+        print(("PASS " if cond else "FAIL ") + name + (f"  [{detail}]" if detail else ""))
+        if not cond:
+            failures.append(name)
+
+    # 1. column pruning + predicate pushdown on a metadata-only probe
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    probe = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    p = plan_of(probe)
+    check(
+        "scan_column_pruning (no text column read)",
+        "ReadSchema" in p and "text" not in p.split("ReadSchema")[1].split("\n")[0],
+        p.split("ReadSchema")[1].split("\n")[0][:90] if "ReadSchema" in p else "no ReadSchema",
+    )
+    filt = docs.where(F.col("doc_id") > 100).select("doc_id")
+    p2 = plan_of(filt)
+    check(
+        "predicate_pushdown (PushedFilters)",
+        "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in p2
+        or "GreaterThan(doc_id,100)" in p2,
+    )
+
+    # 2. one Python crossing in the full chain, codegen around it
+    pages = em._wrap_pages(spark, sf, boilerplate=True)
+    chain = run_chain(pages)
+    p3 = plan_of(chain)
+    check("single_python_stage (1 ArrowEvalPython)", p3.count("ArrowEvalPython") == 1,
+          f"count={p3.count('ArrowEvalPython')}")
+    # executedPlan().toString() marks WholeStageCodegen stages with
+    # a "*(n)" prefix rather than the literal node name
+    check("wholestage_codegen_present", "WholeStageCodegen" in p3 or "*(" in p3)
+
+    # 3. top-k is TakeOrdered, not global sort
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    topk = brute_force_topk(emb, em._QUERY_VEC, k=10)
+    p4 = plan_of(topk)
+    check("topk_takeordered", "TakeOrderedAndProject" in p4)
+    check("topk_no_global_sort_exchange", "rangepartitioning" not in p4.lower())
+
+    # 4. vocab dim join broadcasts
+    dim = lang_names_df(spark)
+    joined = docs.join(F.broadcast(dim), docs.lang == dim.code, "left")
+    p5 = plan_of(joined)
+    check("vocab_join_broadcast", "BroadcastHashJoin" in p5 and "SortMergeJoin" not in p5)
+
+    # 5. LSH pair generation has no cartesian product
+    union = em._with_near_dups(spark, sf)
+    pairs = minhash_lsh_pairs(union, threshold=0.8)
+    p6 = plan_of(pairs)
+    check("lsh_no_cartesian", "CartesianProduct" not in p6)
+    check("lsh_joins_are_hash_or_smj", ("BroadcastHashJoin" in p6) or ("SortMergeJoin" in p6) or ("ShuffledHashJoin" in p6))
+
+    spark.stop()
+    print(f"\n{len(failures)} failure(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
