@@ -49,6 +49,17 @@ def assemble_doc(entries: list[Column]) -> Column:
     )
 
 
+def _fragment(fields: list[tuple[str, Column]]) -> Column:
+    """Render several static-name fields as one JSON fragment via a
+    single ``to_json(struct(...))`` (null fields are omitted by the
+    default ``spark.sql.jsonGenerator.ignoreNullFields=true``) — ~10×
+    cheaper than per-field ``to_json(map(...))`` calls. Returns null
+    when every field was null (so joiners skip it)."""
+    j = F.to_json(F.struct(*[c.alias(name) for name, c in fields]))
+    body = j.substr(F.lit(2), F.length(j) - F.lit(2))
+    return F.nullif(body, F.lit(""))
+
+
 def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
     """Assemble ``doc`` from the field columns produced by the chain
     stages (plans/pipeline.py). Field inventory mirrors FIXTURES.md §2.
@@ -57,6 +68,13 @@ def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
     are emitted — the reference's doc likewise contains exactly what
     the configured indexers for that model produced
     (indexers/__init__.py:82-101 fold + per-model lists).
+
+    Keys are globally sorted (web.py:405 ``sort_keys=True``): static
+    fields are batched into to_json struct fragments declared in
+    sorted order; the two dynamic-name fields (``extracted_text__txt``
+    vs ``__dps_txt``; ``title__txt{lang}``) sort into fixed gaps for
+    every possible name, so fragments + dynamics concatenate in order
+    without a per-row sort.
     """
     cols = set(df.columns)
     entries: list[Column] = []
@@ -66,13 +84,24 @@ def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
             entries.append(entry_fn())
 
     lang_sfx = F.col("lang_suffix")
-    add({"id"}, lambda: json_entry("id", F.col("id")))
-    # flat corpus: url is the root (root.py:45-55 analog)
-    add({"id"}, lambda: json_entry("_root_", F.col("id")))
-    add({"content_model_name__str"}, lambda: json_entry("content_model_name__str", F.col("content_model_name__str")))
-    add({"described_by__uri"}, lambda: json_entry("described_by__uri", F.col("described_by__uri")))
-    # extracted text: delimited-payload pages flip the field name
-    # (extracted_text.py:51-56)
+
+    def nonempty(arr: Column) -> Column:
+        # empty multivalued fields are omitted (content_model.py:166-169)
+        return F.when(F.size(arr) > 0, arr)
+
+    # fragment A: keys sorting before 'extracted_text__*'
+    frag_a: list[tuple[str, Column]] = []
+    if "id" in cols:
+        frag_a.append(("_root_", F.col("id")))  # root.py:45-55 analog
+    if "content_model_name__str" in cols:
+        frag_a.append(("content_model_name__str", F.col("content_model_name__str")))
+    if "described_by__uri" in cols:
+        frag_a.append(("described_by__uri", F.col("described_by__uri")))
+    if frag_a:
+        entries.append(_fragment(frag_a))
+
+    # dynamic: extracted text flips the field name on delimited
+    # payloads (extracted_text.py:51-56)
     add(
         {"is_tagged", "extracted_text"},
         lambda: json_entry(
@@ -82,28 +111,48 @@ def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
             F.col("extracted_text"),
         ),
     )
-    # title is a language-tagged data property → per-language text
-    # field name (content_model.py:263-275)
+
+    # fragment B: keys between 'extracted_text__*' and 'title__txt*'
+    frag_b: list[tuple[str, Column]] = []
+    if "id" in cols:
+        frag_b.append(("id", F.col("id")))
+    if "agg_identifier" in cols:
+        frag_b.append(("identifier", nonempty(F.col("agg_identifier"))))
+    for flag in ("is_discoverable", "is_hidden", "is_published", "is_top_level"):
+        if flag in cols:
+            frag_b.append((flag, F.col(flag)))
+    if "language__facet" in cols:
+        frag_b.append(("language__facet", F.col("language__facet")))
+    if "agg_text" in cols:
+        frag_b.append(("text", nonempty(F.col("agg_text"))))
+    if {"title", "lang_suffix"} <= cols:
+        # title with embedded language tag (content_model.py:278-293)
+        frag_b.append(
+            (
+                "title__display",
+                F.when(
+                    F.col("title").isNotNull() & (lang_sfx != ""),
+                    F.concat(
+                        F.lit("[@"),
+                        F.regexp_replace(lang_sfx.substr(F.lit(2), F.lit(100)), "_", "-"),
+                        F.lit("]"),
+                        F.col("title"),
+                    ),
+                ).otherwise(F.col("title")),
+            )
+        )
+    if frag_b:
+        entries.append(_fragment(frag_b))
+
+    # dynamic: per-language title text field (content_model.py:263-275)
     add({"title", "lang_suffix"}, lambda: json_entry(F.concat(F.lit("title__txt"), lang_sfx), F.col("title")))
-    add(
-        {"title", "lang_suffix"},
-        lambda: json_entry(
-            "title__display",
-            F.when(
-                F.col("title").isNotNull() & (lang_sfx != ""),
-                F.concat(
-                    F.lit("[@"),
-                    F.regexp_replace(lang_sfx.substr(F.lit(2), F.lit(100)), "_", "-"),
-                    F.lit("]"),
-                    F.col("title"),
-                ),
-            ).otherwise(F.col("title")),
-        ),
+
+    # fragment C: keys after 'title__txt*'
+    if "warc_ts__time" in cols:
+        entries.append(_fragment([("warc_ts__time", F.col("warc_ts__time"))]))
+
+    # fragments and dynamics are emitted in globally sorted key order;
+    # concat_ws skips null (all-empty) pieces
+    return df.withColumn(
+        "doc", F.concat(F.lit("{"), F.concat_ws(",", *entries), F.lit("}"))
     )
-    add({"language__facet"}, lambda: json_entry("language__facet", F.col("language__facet")))
-    add({"warc_ts__time"}, lambda: json_entry("warc_ts__time", F.col("warc_ts__time")))
-    for flag in ("is_published", "is_hidden", "is_top_level", "is_discoverable"):
-        add({flag}, lambda flag=flag: json_entry(flag, F.col(flag)))
-    add({"agg_text"}, lambda: json_entry_array("text", F.col("agg_text")))
-    add({"agg_identifier"}, lambda: json_entry_array("identifier", F.col("agg_identifier")))
-    return df.withColumn("doc", assemble_doc(entries))
