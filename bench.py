@@ -84,6 +84,30 @@ def main() -> None:
         steady.append(timings.pop(f"_steady_{i}"))
     timings["extract_pipeline_steady"] = min(steady)
 
+    # -- realistic page sizes: ~8 KB HTML (Common-Crawl-ish) ------------
+    import tempfile
+
+    from solrizer_spark.corpus.generator import write_corpus
+
+    big_dir = tempfile.mkdtemp(prefix="bench-bigpages-")
+    paths = write_corpus(big_dir, n_pages=20_000, seed=42, size_factor=16, chunk_size=2500)
+    big = spark.read.parquet(paths["pages"])
+    big = salted_repartition(big, cpus * 4).cache()
+    n_big = big.count()
+    bytes_big = big.agg(F.sum(F.length("html"))).collect()[0][0] or 0
+    run_chain(big.limit(cpus * 16).repartition(cpus * 4)).agg(F.count(F.lit(1))).collect()
+
+    def run_big():
+        return run_chain(big).agg(F.sum(F.length("doc"))).collect()
+
+    big_times = []
+    for i in range(3):
+        timed(f"_big_{i}", run_big)
+        big_times.append(timings.pop(f"_big_{i}"))
+    timings["extract_large_pages"] = min(big_times)
+    large_mb_per_sec = round(bytes_big / 1e6 / timings["extract_large_pages"], 1)
+    big.unpersist()
+
     # -- operator queries at sf scale -----------------------------------
     qs = em.queries()
     for name in ["page_sequence", "dedup_exact", "text_stats", "lang_facet_counts"]:
@@ -102,6 +126,8 @@ def main() -> None:
                 "sf": sf_dir,
                 "n_docs_extracted": n_docs,
                 "docs_per_sec": docs_per_sec,
+                "large_pages_n": n_big,
+                "large_pages_mb_per_sec": large_mb_per_sec,
                 "cpus": cpus,
             }
         )

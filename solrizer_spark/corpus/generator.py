@@ -88,8 +88,14 @@ def _sentence(rng: random.Random, n: int) -> str:
     return s[0].upper() + s[1:] + "."
 
 
-def generate_page(i: int, seed: int = 42) -> tuple[dict, dict]:
-    """Pure function (seed, i) → (pages row, golden row)."""
+def generate_page(i: int, seed: int = 42, size_factor: int = 1) -> tuple[dict, dict]:
+    """Pure function (seed, i, size_factor) → (pages row, golden row).
+
+    ``size_factor`` scales the paragraph count of HTML payload classes
+    (~500 B pages at 1; ~8 KB at 16) so benchmarks can exercise
+    realistic Common-Crawl page sizes and the Arrow batch cap without
+    touching the golden contract (expectations are computed from the
+    same construction)."""
     rng = random.Random(f"{seed}:{i}")
     if rng.random() < 0.30:
         domain = _MEGA_DOMAINS[i % len(_MEGA_DOMAINS)]
@@ -110,7 +116,10 @@ def generate_page(i: int, seed: int = 42) -> tuple[dict, dict]:
     if cls in (0, 1, 2, 8):
         payload_class = "boilerplate-html" if cls != 8 else "entity-html"
         title = f"Article {i} " + _words(rng, 2)
-        paras = [_sentence(rng, rng.randrange(8, 20)) for _ in range(rng.randrange(2, 5))]
+        paras = [
+            _sentence(rng, rng.randrange(8, 20))
+            for _ in range(rng.randrange(2, 5) * size_factor)
+        ]
         if cls == 8:
             paras[0] = f"Café & bar — review {i}: " + paras[0]
         para_html = "".join(
@@ -205,6 +214,7 @@ def write_corpus(
     n_pages: int = 1000,
     seed: int = 42,
     chunk_size: int = 25_000,
+    size_factor: int = 1,
 ) -> dict[str, str]:
     """Write ``{path}/pages/*.parquet`` and ``{path}/golden/*.parquet``.
 
@@ -220,7 +230,7 @@ def write_corpus(
     part = 0
     for start in range(0, n_pages, chunk_size):
         stop = min(start + chunk_size, n_pages)
-        rows = [generate_page(i, seed) for i in range(start, stop)]
+        rows = [generate_page(i, seed, size_factor) for i in range(start, stop)]
         pages = pa.Table.from_pylist([r[0] for r in rows], schema=PAGES_SCHEMA)
         golden = pa.Table.from_pylist([r[1] for r in rows], schema=GOLDEN_SCHEMA)
         pq.write_table(pages, os.path.join(pages_dir, f"part-{part:05d}.parquet"))
