@@ -468,6 +468,53 @@ def q_edtf_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host/domain/path-depth extraction
+    (crawl-corpus operator ahead of url-keyed dedup/repartition)."""
+    from solrizer_spark.functions.urls import (
+        normalize_url,
+        registered_domain,
+        url_host,
+        url_path_depth,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 50).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("HTTP://WWW.Example"), m, F.lit(".COM:80/a/b/?z=3&a=1#frag")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://sub.site"), m, F.lit(".co.uk/path/page")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://cdn.example"), m, F.lit(".org:8443/x")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("http://example"), m, F.lit(".com")))
+        .otherwise(
+            F.concat(F.lit("https://a.b.example"), m, F.lit(".net/one/two/three?b=2&a=1")))
+    )
+    return docs.select(
+        "doc_id",
+        url_host(url).alias("host"),
+        registered_domain(url).alias("domain"),
+        url_path_depth(url).alias("path_depth"),
+        normalize_url(url).alias("normalized"),
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k=8 char-grams, window=4)."""
+    from solrizer_spark.functions.text_stats import winnow_fingerprints
+
+    docs = _table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints("text", k=8, window=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.element_at(fps, 1).alias("fp_min"),
+        F.element_at(fps, -1).alias("fp_max"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -495,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iiif_identifier": q_iiif_identifier,
         "atomic_diff": q_atomic_diff,
         "edtf_dates": q_edtf_dates,
+        "url_normalize": q_url_normalize,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -784,6 +833,41 @@ def oracle_sql() -> dict[str, str]:
             " WHEN 1 THEN 5 WHEN 2 THEN 6 ELSE 4 END AS precision "
             "FROM (SELECT doc_id, CAST(doc_id%200+1900 AS VARCHAR) AS y,"
             " CAST(doc_id%200+1902 AS VARCHAR) AS y2 FROM documents)"
+        ),
+        "url_normalize": (
+            "SELECT doc_id, "
+            "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host, "
+            "CASE WHEN doc_id%5=1 THEN 'site'||m||'.co.uk' "
+            "WHEN doc_id%5=0 THEN 'example'||m||'.com' "
+            "WHEN doc_id%5=2 THEN 'example'||m||'.org' "
+            "WHEN doc_id%5=3 THEN 'example'||m||'.com' "
+            "ELSE 'example'||m||'.net' END AS domain, "
+            "CASE doc_id%5 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1"
+            " WHEN 3 THEN 0 ELSE 3 END AS path_depth, "
+            "CASE doc_id%5"
+            " WHEN 0 THEN 'http://www.example'||m||'.com/a/b?a=1&z=3'"
+            " WHEN 1 THEN 'https://sub.site'||m||'.co.uk/path/page'"
+            " WHEN 2 THEN 'https://cdn.example'||m||'.org:8443/x'"
+            " WHEN 3 THEN 'http://example'||m||'.com/'"
+            " ELSE 'https://a.b.example'||m||'.net/one/two/three?a=1&b=2'"
+            " END AS normalized "
+            "FROM (SELECT doc_id, CAST(doc_id%50 AS VARCHAR) AS m, "
+            "CASE doc_id%5"
+            " WHEN 0 THEN 'HTTP://WWW.Example'||(doc_id%50)||'.COM:80/a/b/?z=3&a=1#frag'"
+            " WHEN 1 THEN 'https://sub.site'||(doc_id%50)||'.co.uk/path/page'"
+            " WHEN 2 THEN 'https://cdn.example'||(doc_id%50)||'.org:8443/x'"
+            " WHEN 3 THEN 'http://example'||(doc_id%50)||'.com'"
+            " ELSE 'https://a.b.example'||(doc_id%50)||'.net/one/two/three?b=2&a=1'"
+            " END AS url FROM documents)"
+        ),
+        "winnow_fingerprints": (
+            "SELECT doc_id, len(fps) AS n_fps, fps[1] AS fp_min, fps[-1] AS fp_max "
+            "FROM (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "generate_series(1, len(hashes) - 3), j -> list_min(hashes[j:j+3])"
+            "))) AS fps FROM (SELECT doc_id, list_transform("
+            "generate_series(1, length(text) - 7), "
+            "i -> CAST(('0x'||substr(md5(substr(text, i, 8)),1,15))::UBIGINT AS BIGINT)"
+            ") AS hashes FROM documents))"
         ),
     }
 

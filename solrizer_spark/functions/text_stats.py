@@ -97,6 +97,30 @@ def langid(text: Column | str) -> Column:
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    MOSS scheme): 60-bit md5 hashes of character ``k``-grams, minimum
+    per sliding ``window``, distinct + sorted. Guarantees any match of
+    length ≥ ``k + window − 1`` shares a fingerprint. Pure Column
+    expression (and SQL-reproducible via the same md5-prefix hash)."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_kgrams = F.length(col) - (k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_kgrams, F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(col.substr(i, F.lit(k))), 1, 15), 16, 10).cast("long"),
+    )
+    n_windows = F.size(hashes) - (window - 1)
+    mins = F.when(n_windows <= 0, F.array(F.array_min(hashes))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda j: F.array_min(F.slice(hashes, j, window)),
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Polynomial rolling hash of the character stream:
     ``h = (h·131 + ascii(c)) mod (2^31−1)`` — DuckDB-reproducible via

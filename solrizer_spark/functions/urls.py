@@ -1,0 +1,82 @@
+"""URL analysis / canonicalization — Column expressions.
+
+Crawl-corpus operators (no reference analog — solrizer receives one
+resource URI per request): host/domain extraction, path depth, and a
+canonical URL form for url-keyed dedup ahead of the url-hash
+repartition. Implemented with portable regexp/string expressions (not
+``parse_url``) so SQL oracles replicate them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: common two-level public suffixes (tiny public subset; a production
+#: deployment broadcasts the full public-suffix list as a dim table)
+TWO_LEVEL_SUFFIXES = ("co.uk", "com.au", "co.jp", "com.br", "co.in", "org.uk")
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_host(url: Column | str) -> Column:
+    col = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(col, _HOST_RE, 1))
+
+
+def url_path(url: Column | str) -> Column:
+    col = F.col(url) if isinstance(url, str) else url
+    path = F.regexp_extract(col, _PATH_RE, 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def url_path_depth(url: Column | str) -> Column:
+    """Number of non-empty path segments."""
+    p = url_path(url)
+    return F.size(F.filter(F.split(p, "/"), lambda s: s != ""))
+
+
+def registered_domain(url: Column | str) -> Column:
+    """eTLD+1 heuristic: last two host labels, or last three for the
+    embedded two-level-suffix subset."""
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    is_two_level = F.lit(False)
+    for suf in TWO_LEVEL_SUFFIXES:
+        is_two_level = is_two_level | last2.eqNullSafe(F.lit(suf)) | host.endswith("." + suf)
+    return F.when(is_two_level & (n >= 3), last3).otherwise(last2)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical form for url-keyed dedup: lowercase scheme+host,
+    default ports stripped, fragment stripped, query params sorted,
+    trailing slash trimmed (except root)."""
+    col = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(col)
+    port = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:(\d+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = url_path(col)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(col, _QUERY_RE, 1)
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
+    )

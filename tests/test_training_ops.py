@@ -166,3 +166,51 @@ def test_frame_sample_fanout(spark):
     frames = frame_sample_stage(df, every_n=10).collect()
     assert [r.frame_index for r in frames] == [0, 10, 20]
     assert len({r.frame_fingerprint for r in frames}) == 3
+
+
+def test_url_functions(spark):
+    from solrizer_spark.functions.urls import (
+        normalize_url,
+        registered_domain,
+        url_host,
+        url_path_depth,
+    )
+
+    rows = [
+        ("HTTP://WWW.Example.COM:80/a/b/?z=3&a=1#frag",),
+        ("https://sub.site.co.uk/path/page",),
+        ("http://example.com",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = df.select(
+        url_host("url").alias("h"),
+        registered_domain("url").alias("d"),
+        url_path_depth("url").alias("n"),
+        normalize_url("url").alias("c"),
+    ).collect()
+    assert got[0].h == "www.example.com"
+    assert got[0].d == "example.com"
+    assert got[0].n == 2
+    assert got[0].c == "http://www.example.com/a/b?a=1&z=3"
+    assert got[1].d == "site.co.uk"
+    assert got[2].c == "http://example.com/"
+
+
+def test_winnowing_guarantee(spark):
+    """Two docs sharing a long substring share a fingerprint; a
+    disjoint doc shares none."""
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.functions.text_stats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "PREFIX " + shared + " SUFFIX A"),
+        (2, "other opening " + shared + " different ending"),
+        (3, "zzz completely unrelated content qqq vvv kkk yyy www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: set(r.f) for r in df.select(
+        "doc_id", winnow_fingerprints("text", k=8, window=4).alias("f")).collect()}
+    assert got[1] & got[2]  # shared substring ⇒ shared fingerprint
+    assert not (got[1] & got[3])

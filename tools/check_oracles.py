@@ -27,7 +27,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].astype("float64").round(6)
+            # exact bit compare: the queries are designed so Spark and
+            # DuckDB compute IDENTICAL doubles (integer ratios,
+            # left-fold-ordered sums); re-rounding here would mask
+            # engine rounding divergence the driver would catch
+            df[c] = df[c].astype("float64")
         elif str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype) == "bool":
