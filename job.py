@@ -24,6 +24,7 @@ import time
 import uuid
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from solrizer_spark.operators.manifests import (
     build_manifest,
@@ -76,6 +77,7 @@ def run_job(
     resume: bool = False,
     num_partitions: int | None = None,
     chain: list[str] | None = None,
+    dedup: str | None = None,
 ) -> dict:
     docs_path = os.path.join(output_path, "docs")
     manifest_path = os.path.join(output_path, "manifests")
@@ -95,8 +97,44 @@ def run_job(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pages = salted_repartition(pages, num_partitions, salt=salt)
 
+    if dedup == "url":
+        # canonical-url dedup ahead of extraction: keep the earliest
+        # crawl of each normalized url (one shuffle on the url key;
+        # runs BEFORE the Python stage so duplicates never cost a parse)
+        from solrizer_spark.functions.urls import normalize_url
+
+        w = pages.withColumn("_norm_url", normalize_url("url"))
+        pages = (
+            w.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_norm_url").orderBy(
+                        F.col("warc_ts").asc(), F.col("url").asc()
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_norm_url")
+        )
+
     pipeline = build_pipeline(chain or DEFAULT_CHAIN)
     docs = pipeline(pages).select(*DOC_COLUMNS)
+
+    if dedup == "exact":
+        # post-extraction exact-content dedup: keep the minimum url per
+        # extracted_text hash (one shuffle on the content hash)
+        docs = (
+            docs.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(
+                        F.md5(F.coalesce(F.col("extracted_text"), F.col("url")))
+                    ).orderBy(F.col("url").asc())
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     docs, obs = attach_observation(docs)
     t0 = time.monotonic()
@@ -135,7 +173,23 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--dedup", choices=["url", "exact"], default=None,
+        help="url: keep earliest crawl per canonical url (pre-extraction); "
+        "exact: keep one doc per identical extracted_text (post-extraction)",
+    )
+    ap.add_argument(
+        "--chains", default=None,
+        help="JSON file with the stage chain (list) or per-model chains "
+        "(object with '__default__'), the indexers.yml analog",
+    )
     args = ap.parse_args()
+
+    chain = None
+    if args.chains:
+        with open(args.chains) as fh:
+            loaded = json.load(fh)
+        chain = loaded if isinstance(loaded, list) else loaded.get("__default__")
 
     spark = get_spark(
         app_name="solrizer-spark-job",
@@ -149,6 +203,8 @@ def main() -> None:
         n_buckets=args.buckets,
         salt=args.salt,
         resume=args.resume,
+        chain=chain,
+        dedup=args.dedup,
     )
     print(json.dumps(stats))
     spark.stop()

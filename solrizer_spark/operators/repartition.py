@@ -36,5 +36,12 @@ def salted_repartition(
     url_col: str = "url",
     salt: int = 0,
 ) -> DataFrame:
-    """Repartition by salted url-hash ahead of the extraction UDF."""
-    return df.repartition(num_partitions, url_bucket(url_col, num_partitions, salt))
+    """Repartition by salted url-hash ahead of the extraction UDF.
+
+    Partitions on the FULL-resolution 64-bit hash, not on a
+    pre-bucketed value: ``repartition(n, expr)`` applies
+    ``hash(expr) % n``, so an expr already reduced to n values
+    collides (≈1/e of partitions empty, others double-loaded —
+    caught by the skew-balance test)."""
+    col = F.col(url_col)
+    return df.repartition(num_partitions, F.xxhash64(col, F.lit(salt)))

@@ -154,3 +154,56 @@ def test_fast_and_detail_modes_identical(spark, corpus_dir):
     detail = extract_stage(pages, include_blocks=True).select(cols)
     assert fast.exceptAll(detail).count() == 0
     assert detail.exceptAll(fast).count() == 0
+
+
+def test_salted_repartition_balances_skewed_domains(spark, corpus_dir):
+    """FIXTURES.md corpus: 3 mega-domains own ~30% of urls. After the
+    salted url-hash repartition, physical partitions are near-uniform."""
+    from solrizer_spark.operators.repartition import salted_repartition
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
+    # confirm the input is actually skewed
+    domains = pages.groupBy(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("d")
+    ).count()
+    top3 = sum(r["count"] for r in domains.orderBy(F.col("count").desc()).limit(3).collect())
+    assert top3 >= 0.2 * 200
+    sizes = (
+        salted_repartition(pages, 8)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 8
+    assert max(counts) <= 2.0 * (sum(counts) / len(counts))
+
+
+def test_index_record_single_doc(spark):
+    """Single-record parity path (GET /doc analog, web.py:330-405)."""
+    from solrizer_spark.plans.pipeline import index_record
+
+    doc = index_record(
+        spark,
+        url="https://example.org/one",
+        html=b"<html><head><title>T One</title></head><body><p>Hello single record path.</p></body></html>",
+        lang="en",
+    )
+    assert doc["id"] == "https://example.org/one"
+    assert doc["extracted_text__txt"] == "T OneHello single record path."
+    assert doc["title__txt_en"] == "T One"
+    assert doc["language__facet"] == "English"
+
+
+def test_job_dedup_modes(spark, corpus_dir, tmp_path):
+    from job import run_job
+
+    src = os.path.join(corpus_dir, "pages")
+    base = run_job(spark, src, str(tmp_path / "o1"), n_buckets=8)
+    exact = run_job(spark, src, str(tmp_path / "o2"), n_buckets=8, dedup="exact")
+    # corpus urls are unique and texts distinct → url dedup is a no-op,
+    # exact dedup collapses only identical extracted_text (failed rows
+    # share null text → coalesce keeps them apart)
+    assert exact["n_docs"] <= base["n_docs"]
+    url_d = run_job(spark, src, str(tmp_path / "o3"), n_buckets=8, dedup="url")
+    assert url_d["n_docs"] == base["n_docs"]
