@@ -82,13 +82,24 @@ def stage_dates(df: DataFrame, conf: dict) -> DataFrame:
     return df.withColumn("warc_ts__time", solr_timestamp("warc_ts"))
 
 
+#: Pluggable faceter registry — the analog of the reference's
+#: ``solrizer_faceters`` entry points (pyproject.toml:66-82 +
+#: facets.py:38-49): each faceter is a Column builder; the facets
+#: stage appends ``{name}__facet`` for every registered faceter (null
+#: values are omitted from the doc, facets.py:44-47). Users extend by
+#: inserting into this dict before building the pipeline.
+FACETERS: dict[str, Callable[[DataFrame], "object"]] = {
+    "language": lambda df: language_name_col("lang"),
+}
+
+
 def stage_facets(df: DataFrame, conf: dict) -> DataFrame:
     """Facet columns (facets.py:38-49 chain; LanguageFacet
     faceters.py:220-237 via language_name). Null lang ⇒ facet omitted
     (facets.py:44-47)."""
-    return df.withColumn("language__facet", language_name_col("lang")).withColumn(
-        "lang_suffix", language_suffix_col("lang")
-    )
+    for name, builder in FACETERS.items():
+        df = df.withColumn(f"{name}__facet", builder(df))
+    return df.withColumn("lang_suffix", language_suffix_col("lang"))
 
 
 def stage_aggregate_fields(df: DataFrame, conf: dict) -> DataFrame:

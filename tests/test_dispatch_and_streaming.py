@@ -62,3 +62,22 @@ def test_stream_extract_incremental(spark, corpus_dir, tmp_path):
     stream_sel = docs.select("url", "extracted_text", "doc")
     assert batch.exceptAll(stream_sel).count() == 0
     assert stream_sel.exceptAll(batch).count() == 0
+
+
+def test_pluggable_faceter_registry(spark, corpus_dir):
+    """Custom faceters (solrizer_faceters entry-point analog,
+    facets.py:38-49) append {name}__facet columns."""
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.plans.pipeline import FACETERS, run_chain
+
+    FACETERS["decade"] = lambda df: F.concat(
+        (F.year("warc_ts") - F.year("warc_ts") % 10).cast("string"), F.lit("s")
+    )
+    try:
+        pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
+        out = run_chain(pages)
+        row = out.select("language__facet", "decade__facet").first()
+        assert row["decade__facet"].endswith("0s")
+    finally:
+        del FACETERS["decade"]
