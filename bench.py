@@ -107,6 +107,9 @@ def main() -> None:
     timings["extract_large_pages"] = min(big_times)
     large_mb_per_sec = round(bytes_big / 1e6 / timings["extract_large_pages"], 1)
     big.unpersist()
+    import shutil
+
+    shutil.rmtree(big_dir, ignore_errors=True)
 
     # -- operator queries at sf scale -----------------------------------
     qs = em.queries()

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -77,6 +78,7 @@ def run_job(
     resume: bool = False,
     num_partitions: int | None = None,
     chain: list[str] | None = None,
+    model_chains: dict[str, list[str]] | None = None,
     dedup: str | None = None,
 ) -> dict:
     docs_path = os.path.join(output_path, "docs")
@@ -95,12 +97,12 @@ def run_job(
 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pages = salted_repartition(pages, num_partitions, salt=salt)
 
     if dedup == "url":
         # canonical-url dedup ahead of extraction: keep the earliest
-        # crawl of each normalized url (one shuffle on the url key;
-        # runs BEFORE the Python stage so duplicates never cost a parse)
+        # crawl of each normalized url. Runs BEFORE the salted
+        # repartition — its window shuffle would otherwise discard the
+        # salted layout and the corpus would shuffle twice.
         from solrizer_spark.functions.urls import normalize_url
 
         w = pages.withColumn("_norm_url", normalize_url("url"))
@@ -117,8 +119,20 @@ def run_job(
             .drop("_rn", "_norm_url")
         )
 
-    pipeline = build_pipeline(chain or DEFAULT_CHAIN)
-    docs = pipeline(pages).select(*DOC_COLUMNS)
+    pages = salted_repartition(pages, num_partitions, salt=salt)
+
+    if model_chains:
+        from solrizer_spark.plans.pipeline import run_model_chains
+
+        out = run_model_chains(pages, model_chains)
+    else:
+        out = build_pipeline(chain or DEFAULT_CHAIN)(pages)
+    # a custom chain may legitimately skip stages → keep whatever
+    # subset of the canonical sink columns it produced, plus any
+    # registered faceter columns
+    keep = [c for c in DOC_COLUMNS if c in out.columns]
+    keep += [c for c in out.columns if c.endswith("__facet") and c not in keep]
+    docs = out.select(*keep)
 
     if dedup == "exact":
         # post-extraction exact-content dedup: keep the minimum url per
@@ -138,12 +152,22 @@ def run_job(
 
     docs, obs = attach_observation(docs)
     t0 = time.monotonic()
+    if not resume:
+        # full overwrite: a fresh run must not inherit stale partitions
+        # from a previous run with different bucketing/salt (dynamic
+        # overwrite never clears partitions absent from this run)
+        shutil.rmtree(docs_path, ignore_errors=True)
+    # dynamic overwrite: on resume, only the buckets recomputed this
+    # run are replaced; completed buckets' data stays in place
     write_table(docs, docs_path, mode="overwrite", partition_by=["partition_key"])
     elapsed = time.monotonic() - t0
 
     # manifest-last: completion rows derive from the durably written
     # sink, restricted to buckets recomputed THIS run (resume appends
-    # must not duplicate prior completion rows)
+    # must not duplicate prior completion rows). On a fresh run, prior
+    # manifests for this output are superseded — drop them.
+    if not resume:
+        shutil.rmtree(manifest_path, ignore_errors=True)
     written = spark.read.parquet(docs_path)
     if done:
         written = written.where(~F.col("partition_key").isin(done))
@@ -186,10 +210,14 @@ def main() -> None:
     args = ap.parse_args()
 
     chain = None
+    model_chains = None
     if args.chains:
         with open(args.chains) as fh:
             loaded = json.load(fh)
-        chain = loaded if isinstance(loaded, list) else loaded.get("__default__")
+        if isinstance(loaded, list):
+            chain = loaded
+        else:
+            model_chains = loaded  # per-model lists, indexers.yml analog
 
     spark = get_spark(
         app_name="solrizer-spark-job",
@@ -204,6 +232,7 @@ def main() -> None:
         salt=args.salt,
         resume=args.resume,
         chain=chain,
+        model_chains=model_chains,
         dedup=args.dedup,
     )
     print(json.dumps(stats))

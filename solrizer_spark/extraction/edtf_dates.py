@@ -196,6 +196,8 @@ def _strict_bounds(side: _Side) -> tuple[str, str]:
 def _render_single(side: _Side) -> str:
     """Render a non-interval EDTF value (solr_date single-value cases,
     dates.py:105-141)."""
+    if side.kind == "open":
+        raise UnsupportedEDTF("a bare open section is not a date")
     if side.kind == "datetime":
         return side.dt_utc
     if side.kind in ("season", "unspecified", "exponential"):

@@ -88,7 +88,13 @@ def extract_alto_words(content: str | bytes, dpi: tuple[int, int] = (400, 400)) 
     ``inch1200`` measurement units scale by ``dpi/1200`` per axis with
     round-to-nearest; ``pixel`` (or absent) is identity.
     """
-    root = ET.fromstring(content)
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as e:
+        # sniff said ALTO but it isn't well-formed XML — most likely an
+        # ordinary page that merely mentions '<alto' → let the caller
+        # fall back to the HTML route
+        raise UnrecognizedOCRFormatError(f"not parseable as ALTO XML: {e}") from e
     if _localname(root.tag) != "alto":
         raise UnrecognizedOCRFormatError("not an ALTO document")
     unit = "pixel"
@@ -123,6 +129,11 @@ def extract_alto_words(content: str | bytes, dpi: tuple[int, int] = (400, 400)) 
 
 _BBOX_RE = re.compile(r"bbox (\d+) (\d+) (\d+) (\d+)")
 
+#: void elements inside hOCR markup (no end tag)
+_HOCR_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
 
 class _HOCRWordParser(HTMLParser):
     def __init__(self) -> None:
@@ -134,6 +145,8 @@ class _HOCRWordParser(HTMLParser):
         self.seen_page = False
 
     def handle_starttag(self, tag, attrs):
+        if tag in _HOCR_VOID_TAGS:
+            return  # <br>/<img> have no end tag — must not unbalance depth
         amap = dict(attrs)
         cls = amap.get("class", "")
         if "ocr_page" in cls:
@@ -150,7 +163,7 @@ class _HOCRWordParser(HTMLParser):
                 self._buf = []
 
     def handle_endtag(self, tag):
-        if not self._depth:
+        if tag in _HOCR_VOID_TAGS or not self._depth:
             return
         self._depth -= 1
         if self._depth == 0 and self._bbox is not None:

@@ -56,10 +56,19 @@ def normalize_url(url: Column | str) -> Column:
     """Canonical form for url-keyed dedup: lowercase scheme+host,
     default ports stripped, fragment stripped, query params sorted,
     trailing slash trimmed (except root)."""
-    col = F.col(url) if isinstance(url, str) else url
+    raw = F.col(url) if isinstance(url, str) else url
+    # strip the fragment FIRST: '?' or ':' inside a fragment must not
+    # be mistaken for query/port ("https://ex.com/a#sec?x=1" has no query)
+    col = F.substring_index(raw, "#", 1)
     scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = url_host(col)
-    port = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:(\d+)", 1)
+    # optional userinfo group before the host so ":123" in a password
+    # is not read as a port
+    # the terminator lookahead stops backtracking from re-reading a
+    # userinfo password as the port ("user:123abc@host" has no port)
+    port = F.regexp_extract(
+        col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:@]+:(\d+)(?=[/?#]|$)", 1
+    )
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))

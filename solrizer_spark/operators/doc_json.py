@@ -5,11 +5,15 @@ dict with *dynamic* field names — typed suffixes, language-suffixed
 text fields, ``__dps_txt`` switching (web.py:405; suffix system
 content_model.py:59-111).
 
-Spark re-expression: each field renders as a one-entry JSON map
-(``to_json(map(key, value))`` — proper escaping, any value type, key
-may be a runtime expression such as ``title__txt_en``), the braces are
-stripped, null/empty fields are omitted (content_model.py:166-169),
-and the entries are sorted lexicographically and joined. 100%
+Spark re-expression: the static-name fields (known at plan time,
+including any registered ``{name}__facet`` columns) are sorted at
+PLAN time and batched into ``to_json(struct(...))`` fragments (null
+fields omitted by the default JSON-generator setting — ~10× cheaper
+than per-field ``to_json(map(...))`` calls). The two runtime-dynamic
+field names (``extracted_text__txt`` vs ``__dps_txt``;
+``title__txt{lang_suffix}``) each occupy a bounded lexicographic gap,
+so the sorted static keys split around them and the pieces
+concatenate in globally sorted key order with no per-row sort. 100%
 codegen'd Catalyst expressions — no Python, no UDF.
 """
 
@@ -18,12 +22,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: lexicographic gaps owned by the runtime-dynamic field names; a
+#: static field whose name falls inside an open gap would break the
+#: sorted-key guarantee → rejected at plan time.
+_DYNAMIC_GAPS = {
+    "extracted_text": ("extracted_text__", "extracted_text__tzzz"),
+    "title_txt": ("title__txt", "title__tzzz"),
+}
+
 
 def json_entry(key: Column | str, value: Column) -> Column:
     """Render one ``"key":value`` JSON fragment, or null to omit.
 
     ``key`` may be a literal name or a runtime Column (dynamic field
-    names). Null values are omitted; empty arrays are omitted.
+    names). Null values are omitted.
     """
     key_col = F.lit(key) if isinstance(key, str) else key
     j = F.to_json(F.create_map(key_col, value))
@@ -37,11 +49,8 @@ def json_entry_array(key: Column | str, value: Column) -> Column:
 
 
 def assemble_doc(entries: list[Column]) -> Column:
-    """Sorted-key canonical JSON object from entry fragments.
-
-    Sorting the rendered fragments sorts by JSON-escaped key (all keys
-    begin the fragment), reproducing ``sort_keys=True``.
-    """
+    """Sorted-key canonical JSON object from single-entry fragments
+    (runtime sort — used when keys are not plan-time sortable)."""
     return F.concat(
         F.lit("{"),
         F.array_join(F.array_sort(F.array_compact(F.array(*entries))), ","),
@@ -51,10 +60,7 @@ def assemble_doc(entries: list[Column]) -> Column:
 
 def _fragment(fields: list[tuple[str, Column]]) -> Column:
     """Render several static-name fields as one JSON fragment via a
-    single ``to_json(struct(...))`` (null fields are omitted by the
-    default ``spark.sql.jsonGenerator.ignoreNullFields=true``) — ~10×
-    cheaper than per-field ``to_json(map(...))`` calls. Returns null
-    when every field was null (so joiners skip it)."""
+    single ``to_json(struct(...))``; null when every field was null."""
     j = F.to_json(F.struct(*[c.alias(name) for name, c in fields]))
     body = j.substr(F.lit(2), F.length(j) - F.lit(2))
     return F.nullif(body, F.lit(""))
@@ -67,67 +73,35 @@ def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
     Only fields whose producing stage actually ran (column present)
     are emitted — the reference's doc likewise contains exactly what
     the configured indexers for that model produced
-    (indexers/__init__.py:82-101 fold + per-model lists).
-
-    Keys are globally sorted (web.py:405 ``sort_keys=True``): static
-    fields are batched into to_json struct fragments declared in
-    sorted order; the two dynamic-name fields (``extracted_text__txt``
-    vs ``__dps_txt``; ``title__txt{lang}``) sort into fixed gaps for
-    every possible name, so fragments + dynamics concatenate in order
-    without a per-row sort.
+    (indexers/__init__.py:82-101 fold + per-model lists). Registered
+    faceter columns (``{name}__facet``) are included automatically.
     """
     cols = set(df.columns)
-    entries: list[Column] = []
-
-    def add(needed: set[str], entry_fn) -> None:
-        if needed <= cols:
-            entries.append(entry_fn())
-
     lang_sfx = F.col("lang_suffix")
 
     def nonempty(arr: Column) -> Column:
         # empty multivalued fields are omitted (content_model.py:166-169)
         return F.when(F.size(arr) > 0, arr)
 
-    # fragment A: keys sorting before 'extracted_text__*'
-    frag_a: list[tuple[str, Column]] = []
+    # --- static-name fields, assembled at plan time ---------------------
+    static: list[tuple[str, Column]] = []
     if "id" in cols:
-        frag_a.append(("_root_", F.col("id")))  # root.py:45-55 analog
+        static.append(("id", F.col("id")))
+        static.append(("_root_", F.col("id")))  # root.py:45-55 analog
     if "content_model_name__str" in cols:
-        frag_a.append(("content_model_name__str", F.col("content_model_name__str")))
+        static.append(("content_model_name__str", F.col("content_model_name__str")))
     if "described_by__uri" in cols:
-        frag_a.append(("described_by__uri", F.col("described_by__uri")))
-    if frag_a:
-        entries.append(_fragment(frag_a))
-
-    # dynamic: extracted text flips the field name on delimited
-    # payloads (extracted_text.py:51-56)
-    add(
-        {"is_tagged", "extracted_text"},
-        lambda: json_entry(
-            F.when(F.col("is_tagged"), F.lit("extracted_text__dps_txt")).otherwise(
-                F.lit("extracted_text__txt")
-            ),
-            F.col("extracted_text"),
-        ),
-    )
-
-    # fragment B: keys between 'extracted_text__*' and 'title__txt*'
-    frag_b: list[tuple[str, Column]] = []
-    if "id" in cols:
-        frag_b.append(("id", F.col("id")))
+        static.append(("described_by__uri", F.col("described_by__uri")))
     if "agg_identifier" in cols:
-        frag_b.append(("identifier", nonempty(F.col("agg_identifier"))))
+        static.append(("identifier", nonempty(F.col("agg_identifier"))))
     for flag in ("is_discoverable", "is_hidden", "is_published", "is_top_level"):
         if flag in cols:
-            frag_b.append((flag, F.col(flag)))
-    if "language__facet" in cols:
-        frag_b.append(("language__facet", F.col("language__facet")))
+            static.append((flag, F.col(flag)))
     if "agg_text" in cols:
-        frag_b.append(("text", nonempty(F.col("agg_text"))))
+        static.append(("text", nonempty(F.col("agg_text"))))
     if {"title", "lang_suffix"} <= cols:
         # title with embedded language tag (content_model.py:278-293)
-        frag_b.append(
+        static.append(
             (
                 "title__display",
                 F.when(
@@ -141,18 +115,64 @@ def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
                 ).otherwise(F.col("title")),
             )
         )
-    if frag_b:
-        entries.append(_fragment(frag_b))
-
-    # dynamic: per-language title text field (content_model.py:263-275)
-    add({"title", "lang_suffix"}, lambda: json_entry(F.concat(F.lit("title__txt"), lang_sfx), F.col("title")))
-
-    # fragment C: keys after 'title__txt*'
     if "warc_ts__time" in cols:
-        entries.append(_fragment([("warc_ts__time", F.col("warc_ts__time"))]))
+        static.append(("warc_ts__time", F.col("warc_ts__time")))
+    # every registered faceter column (facets.py:38-49 analog)
+    for c in sorted(cols):
+        if c.endswith("__facet"):
+            static.append((c, F.col(c)))
 
-    # fragments and dynamics are emitted in globally sorted key order;
-    # concat_ws skips null (all-empty) pieces
+    static.sort(key=lambda kv: kv[0])
+
+    # --- dynamic-name fields and their sorted gaps -----------------------
+    dynamics: list[tuple[str, Column]] = []  # (gap lower bound, piece)
+    if {"is_tagged", "extracted_text"} <= cols:
+        # delimited payloads flip the field name (extracted_text.py:51-56)
+        dynamics.append(
+            (
+                _DYNAMIC_GAPS["extracted_text"][0],
+                json_entry(
+                    F.when(F.col("is_tagged"), F.lit("extracted_text__dps_txt")).otherwise(
+                        F.lit("extracted_text__txt")
+                    ),
+                    F.col("extracted_text"),
+                ),
+            )
+        )
+    if {"title", "lang_suffix"} <= cols:
+        # per-language title text field (content_model.py:263-275)
+        dynamics.append(
+            (
+                _DYNAMIC_GAPS["title_txt"][0],
+                json_entry(F.concat(F.lit("title__txt"), lang_sfx), F.col("title")),
+            )
+        )
+
+    for lo, hi in _DYNAMIC_GAPS.values():
+        clash = [k for k, _ in static if lo < k < hi]
+        if clash:
+            raise ValueError(
+                f"static doc field(s) {clash} fall inside the dynamic name "
+                f"gap ({lo!r}, {hi!r}) and would break sorted key order"
+            )
+
+    # --- merge: fragments of contiguous static runs + dynamics ----------
+    pieces: list[Column] = []
+    run: list[tuple[str, Column]] = []
+    di = 0
+    for key, col in static:
+        while di < len(dynamics) and dynamics[di][0] < key:
+            if run:
+                pieces.append(_fragment(run))
+                run = []
+            pieces.append(dynamics[di][1])
+            di += 1
+        run.append((key, col))
+    if run:
+        pieces.append(_fragment(run))
+    for _, piece in dynamics[di:]:
+        pieces.append(piece)
+
     return df.withColumn(
-        "doc", F.concat(F.lit("{"), F.concat_ws(",", *entries), F.lit("}"))
+        "doc", F.concat(F.lit("{"), F.concat_ws(",", *pieces), F.lit("}"))
     )

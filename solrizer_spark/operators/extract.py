@@ -106,20 +106,27 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
             m in head for m in _OCR_MARKERS
         )
         if is_tagged:
+            # broad except: a malformed ALTO/hOCR payload (truncated
+            # XML → ParseError, missing attrs → KeyError) must never
+            # escape the UDF and fail the job; a sniff false-positive
+            # (an ordinary page that merely mentions 'ocr_page') falls
+            # back to the HTML route below instead of being dropped
             try:
                 words = extract_tagged_words(html, dpi=dpi)
-            except (UnrecognizedOCRFormatError, UnicodeDecodeError, ValueError) as e:
+                return {
+                    "route": "tagged",
+                    "raw_text": None,
+                    "title": None,
+                    "tagged_text": tagged_text(words, page_index=0),
+                    "blocks": None,
+                    "parse_failed": False,
+                    "error": None,
+                    "bytes_in": len(html),
+                }
+            except UnrecognizedOCRFormatError:
+                pass  # not OCR after all → HTML route
+            except Exception as e:
                 return {**_FAILED, "error": f"ocr_error:{type(e).__name__}", "bytes_in": len(html)}
-            return {
-                "route": "tagged",
-                "raw_text": None,
-                "title": None,
-                "tagged_text": tagged_text(words, page_index=0),
-                "blocks": None,
-                "parse_failed": False,
-                "error": None,
-                "bytes_in": len(html),
-            }
         result = extract_html(html)
         if result.parse_failed:
             return {**_FAILED, "error": result.error, "bytes_in": len(html)}
