@@ -468,6 +468,40 @@ def q_edtf_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic IVF centroids (plan-time literals; production: a
+#: driver-side k-means/sample result)
+_IVF_CENTROIDS = [
+    [(((j * 13 + d * 5) % 17) - 8) / 8.0 for d in range(64)] for j in range(8)
+]
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid inverted lists, probe
+    the 2 cells nearest the query, exact cosine within them."""
+    from solrizer_spark.operators.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _QUERY_VEC, _IVF_CENTROIDS, k=10, nprobe=2)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex runs,
+    length-based subword estimate."""
+    from solrizer_spark.functions.text_stats import (
+        bpe_token_count,
+        subword_count_estimate,
+        token_count,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+        subword_count_estimate("text").alias("subword_est"),
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host/domain/path-depth extraction
     (crawl-corpus operator ahead of url-keyed dedup/repartition)."""
@@ -544,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edtf_dates": q_edtf_dates,
         "url_normalize": q_url_normalize,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "ann_ivf": q_ann_ivf,
+        "token_counts": q_token_counts,
     }
 
 
@@ -631,6 +667,39 @@ def _query_bucket(qvec: list[float], n_bits: int) -> int:
         proj = sum(_hyperplane_sign_sql(j, d) * qvec[d] for d in range(dims))
         out = out * 2 + (1 if proj > 0 else 0)
     return out
+
+
+def _ivf_oracle_sql() -> str:
+    """IVF top-k oracle: per-row cosines to every centroid (same
+    left-fold term order as the Spark expressions), argmax cell with
+    the same strict-> fold, probe-cell filter, exact top-k."""
+    import math
+
+    def pycos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    order = sorted(
+        range(len(_IVF_CENTROIDS)),
+        key=lambda i: (-pycos(_QUERY_VEC, _IVF_CENTROIDS[i]), i),
+    )
+    probe = order[:2]
+    cos_cols = ", ".join(
+        f"{_cos_sql(c)} AS cos_{j}" for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    cell_expr = "0"
+    best_expr = "cos_0"
+    for j in range(1, len(_IVF_CENTROIDS)):
+        cell_expr = f"(CASE WHEN cos_{j} > {best_expr} THEN {j} ELSE {cell_expr} END)"
+        best_expr = f"(CASE WHEN cos_{j} > {best_expr} THEN cos_{j} ELSE {best_expr} END)"
+    return (
+        f"SELECT vec_id, round({_cos_sql(_QUERY_VEC)}, 6) AS cos_sim "
+        f"FROM (SELECT vec_id, embedding, {cell_expr} AS cell FROM "
+        f"(SELECT vec_id, embedding, {cos_cols} FROM embeddings)) "
+        f"WHERE cell IN ({', '.join(str(p) for p in probe)}) "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    )
 
 
 def _langid_sql() -> str:
@@ -868,6 +937,15 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(1, length(text) - 7), "
             "i -> CAST(('0x'||substr(md5(substr(text, i, 8)),1,15))::UBIGINT AS BIGINT)"
             ") AS hashes FROM documents))"
+        ),
+        "ann_ivf": _ivf_oracle_sql(),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(str_split(text, ' ')) AS ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens, "
+            "CAST(list_sum(list_transform(str_split(text,' '), "
+            "x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS subword_est "
+            "FROM documents"
         ),
     }
 

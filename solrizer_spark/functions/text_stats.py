@@ -33,6 +33,19 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct split,
+#: simplified to the RE2/Java-common subset — no lookaheads)
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-style pre-tokenization regex (letters /
+    digits / punctuation runs) — the standard first pass of GPT-style
+    tokenizers; reproducible in SQL via ``regexp_extract_all``."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
 def subword_count_estimate(text: Column | str, chars_per_token: float = 4.0) -> Column:
     """BPE-ish token count estimate: word boundaries + length-based
     subword splits (a word of L chars ≈ ceil(L/4) subword tokens)."""

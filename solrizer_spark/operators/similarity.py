@@ -117,6 +117,57 @@ def lsh_topk(
     )
 
 
+def assign_ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """IVF coarse quantizer: index of the nearest centroid (highest
+    cosine; ties → lowest index). Centroids are plan-time literals
+    (at production scale: a driver-side sample/k-means result,
+    broadcast into the plan), so assignment is pure codegen."""
+    best_idx = F.lit(0)
+    best_sim = None
+    for idx, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        sim = cosine(vec, lit_c)
+        if best_sim is None:
+            best_sim = sim
+        else:
+            better = sim > best_sim
+            best_idx = F.when(better, F.lit(idx)).otherwise(best_idx)
+            best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_idx
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: partition vectors into inverted lists by
+    nearest centroid, probe only the ``nprobe`` cells nearest the
+    query, exact cosine inside them. The scale path to LSH's
+    alternative: at 10^12 vectors the cell assignment is a stored
+    column (Iceberg partition) and a probe scans nprobe/n_cells of
+    the data."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        import math
+
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))
+    probe_cells = order[:nprobe]
+    cells = df.withColumn("_cell", assign_ivf_cell(F.col(vec_col), centroids))
+    return brute_force_topk(
+        cells.where(F.col("_cell").isin(probe_cells)), query_vec, k, id_col, vec_col
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

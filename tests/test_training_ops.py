@@ -214,3 +214,27 @@ def test_winnowing_guarantee(spark):
         "doc_id", winnow_fingerprints("text", k=8, window=4).alias("f")).collect()}
     assert got[1] & got[2]  # shared substring ⇒ shared fingerprint
     assert not (got[1] & got[3])
+
+
+def test_ivf_topk_recovers_bruteforce_neighbors(spark):
+    """With enough probes the IVF result equals brute force; with one
+    probe it is a subset of the probed cell."""
+    from solrizer_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rows = [(i, [float((i * 3 + d) % 7 - 3) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = [r[1] for r in rows[:4]]
+    q = rows[5][1]
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=5).collect()]
+    full_probe = [r.vec_id for r in ivf_topk(df, q, centroids, k=5, nprobe=4).collect()]
+    assert full_probe == exact  # probing all cells == brute force
+    one_probe = ivf_topk(df, q, centroids, k=5, nprobe=1).collect()
+    assert 0 < len(one_probe) <= 5
+
+
+def test_bpe_token_count(spark):
+    from solrizer_spark.functions.text_stats import bpe_token_count
+
+    df = spark.createDataFrame([("Hello, world! 42x",)], "text string")
+    # runs: Hello / , / world / ! / 42 / x  → 6
+    assert df.select(bpe_token_count("text").alias("n")).first().n == 6
