@@ -102,25 +102,74 @@ def stage_facets(df: DataFrame, conf: dict) -> DataFrame:
     return df.withColumn("lang_suffix", language_suffix_col("lang"))
 
 
+#: default aggregate-field settings — the indexer-settings.yml analog
+#: (indexer-settings.yml:7-26): each output field lists column paths
+#: whose non-null values are concatenated. ``?``-suffixed paths are
+#: optional (skipped when the column is absent), mirroring jq's
+#: ``.foo?``; the reference's recursive-descent programs
+#: (``..|objects|.x``) expand at plan time because our schema is
+#: static.
+DEFAULT_AGGREGATE_FIELDS: dict[str, list[str]] = {
+    "agg_text": ["title?", "extracted_text"],
+    "agg_identifier": ["id", "described_by__uri?"],
+}
+
+
 def stage_aggregate_fields(df: DataFrame, conf: dict) -> DataFrame:
     """Omnibus multivalued fields (aggregate_fields.py:22-44 +
-    indexer-settings.yml:7-26). The reference runs jq path queries over
-    the accumulated doc and concatenates non-null results; our schema
-    is static so the jq programs expand at plan time to column refs,
-    and the non-null filter is ``array_compact``. Column names carry
-    an ``agg_`` prefix (the input table already owns ``text``); the
-    doc JSON keys are the reference's ``text``/``identifier``."""
-    return df.withColumn(
-        "agg_text", F.array_compact(F.array(F.col("title"), F.col("extracted_text")))
-    ).withColumn(
-        "agg_identifier",
-        F.array_compact(F.array(F.col("id"), F.col("described_by__uri"))),
-    )
+    indexer-settings.yml:7-26). The reference compiles jq programs and
+    concatenates their non-null results; here the configured column
+    paths resolve at plan time and ``array_compact`` is the non-null
+    filter (aggregate_fields.py:42). Configure via
+    ``conf['aggregate_fields']``. Column names carry an ``agg_``
+    prefix (the input table owns ``text``); doc JSON keys drop it."""
+    settings = conf.get("aggregate_fields", DEFAULT_AGGREGATE_FIELDS)
+    for out_field, paths in settings.items():
+        cols = []
+        for p in paths:
+            optional = p.endswith("?")
+            name = p.rstrip("?")
+            if name in df.columns:
+                cols.append(F.col(name))
+            elif not optional:
+                raise ValueError(
+                    f"aggregate field {out_field!r} requires column {name!r} "
+                    f"(available: {sorted(df.columns)})"
+                )
+        value = F.array_compact(F.array(*cols)) if cols else F.array().cast("array<string>")
+        df = df.withColumn(out_field, value)
+    return df
 
 
 def stage_doc(df: DataFrame, conf: dict) -> DataFrame:
     """Canonical sorted-key JSON doc (web.py:405)."""
     return doc_json_stage(df, conf)
+
+
+def stage_child_docs(df: DataFrame, conf: dict) -> DataFrame:
+    """Nested child documents (content_model.py:324-336 /
+    indexers/root.py: embedded resources become ``list[dict]`` values
+    with the parent's id as ``_root_``): each kept DOM block becomes a
+    ``page`` child doc struct. Requires the detail extraction mode
+    (``conf['include_blocks']=True``) — blocks are dropped in the fast
+    path."""
+    if "blocks" not in df.columns:
+        raise ValueError(
+            "child_docs requires the detail extraction mode: set "
+            "conf={'include_blocks': True} so the blocks column exists"
+        )
+    kept = F.filter(F.col("blocks"), lambda b: b["kept"])
+    child = F.transform(
+        kept,
+        lambda b: F.struct(
+            F.concat(F.col("url"), F.lit("#block-"), b["block_index"].cast("string")).alias("id"),
+            F.col("url").alias("_root_"),
+            b["block_index"].alias("page_index__int"),
+            b["text"].alias("page__text__txt"),
+            b["tag_path"].alias("page__tag_path__str"),
+        ),
+    )
+    return df.withColumn("pages", child)
 
 
 STAGES: dict[str, Stage] = {
@@ -130,6 +179,7 @@ STAGES: dict[str, Stage] = {
     "dates": stage_dates,
     "facets": stage_facets,
     "aggregate_fields": stage_aggregate_fields,
+    "child_docs": stage_child_docs,
     "doc": stage_doc,
 }
 

@@ -81,3 +81,43 @@ def test_pluggable_faceter_registry(spark, corpus_dir):
         assert row["decade__facet"].endswith("0s")
     finally:
         del FACETERS["decade"]
+
+
+def test_child_docs_stage(spark, corpus_dir):
+    """Nested child documents from kept blocks (content_model.py:324-336
+    analog): one struct per kept block, parent url as _root_."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.plans.pipeline import run_chain
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
+    chain = ["extract", "content_model", "child_docs", "doc" ]
+    out = run_chain(pages, ["extract", "content_model", "child_docs"],
+                    {"include_blocks": True})
+    row = out.where(F.col("blocks_kept") > 1).select("url", "pages").first()
+    assert len(row.pages) > 1
+    assert all(p._root_ == row.url for p in row.pages)
+    assert row.pages[0].id.endswith("#block-" + str(row.pages[0].page_index__int))
+    # fast path (no blocks) must fail loudly, not silently omit
+    with _pytest.raises(ValueError, match="include_blocks"):
+        run_chain(pages, ["extract", "child_docs"])
+
+
+def test_configurable_aggregate_fields(spark, corpus_dir):
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.plans.pipeline import run_chain
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
+    conf = {"aggregate_fields": {"agg_text": ["extracted_text", "missing_col?"],
+                                 "agg_all": ["url", "route"]}}
+    out = run_chain(pages, ["extract", "aggregate_fields"], conf)
+    row = out.where(F.col("extracted_text").isNotNull()).select("agg_text", "agg_all").first()
+    assert len(row.agg_text) == 1  # optional missing col skipped
+    assert len(row.agg_all) == 2
+    # required missing column fails fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires column"):
+        run_chain(pages, ["extract", "aggregate_fields"],
+                  {"aggregate_fields": {"agg_x": ["nope"]}})

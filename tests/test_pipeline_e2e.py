@@ -207,3 +207,39 @@ def test_job_dedup_modes(spark, corpus_dir, tmp_path):
     assert exact["n_docs"] <= base["n_docs"]
     url_d = run_job(spark, src, str(tmp_path / "o3"), n_buckets=8, dedup="url")
     assert url_d["n_docs"] == base["n_docs"]
+
+
+def test_partial_resume_processes_only_incomplete_buckets(spark, corpus_dir, tmp_path):
+    """Kill/rerun semantics (FIXTURES.md e2e tier): with only half the
+    buckets marked complete, a resume run recomputes exactly the other
+    half and appends exactly their manifest rows."""
+    from job import run_job
+
+    src = os.path.join(corpus_dir, "pages")
+    out_full = str(tmp_path / "full")
+    run_job(spark, src, out_full, n_buckets=16)
+    full_docs = spark.read.parquet(out_full + "/docs")
+    half_done = set(range(8))
+    expected_rest = full_docs.where(~F.col("partition_key").isin(list(half_done))).count()
+
+    # simulate a crash after half the buckets committed: manifests for
+    # buckets 0-7 only, docs dir containing only those buckets' data
+    out_part = str(tmp_path / "part")
+    os.makedirs(out_part)
+    m = spark.read.parquet(out_full + "/manifests")
+    m.where(F.col("partition_key") < 8).write.parquet(out_part + "/manifests")
+    full_docs.where(F.col("partition_key") < 8).write.partitionBy(
+        "partition_key"
+    ).parquet(out_part + "/docs")
+
+    stats = run_job(spark, src, out_part, n_buckets=16, resume=True)
+    assert stats["skipped_buckets"] == 8
+    assert stats["n_docs"] == expected_rest
+    # recombined output is complete: every url exactly once
+    docs = spark.read.parquet(out_part + "/docs")
+    assert docs.count() == 200
+    assert docs.select("url").distinct().count() == 200
+    # manifests now cover all 16 buckets exactly once
+    m2 = spark.read.parquet(out_part + "/manifests")
+    assert m2.select("partition_key").distinct().count() == 16
+    assert m2.count() == 16
