@@ -113,7 +113,15 @@ def main() -> None:
 
     # -- operator queries at sf scale -----------------------------------
     qs = em.queries()
-    for name in ["page_sequence", "dedup_exact", "text_stats", "lang_facet_counts"]:
+    for name in [
+        "page_sequence",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "embedding_near_dup",
+        "ann_bruteforce",
+        "text_stats",
+        "lang_facet_counts",
+    ]:
         df = qs[name](spark, sf_dir)
         timed(name, lambda d=df: d.agg(F.count(F.lit(1))).collect())
 

@@ -53,9 +53,12 @@ def minhash_signatures(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: per seed i, min over shingles of
     ``xxhash64(shingle, i)``. Pure map-side Column expression.
 
-    N.B. seeds must be bound via a closure factory, NOT a ``i=i``
-    default arg — pyspark treats a second lambda parameter as the
-    array-index variable."""
+    Deliberately UNROLLED per seed: a nested runtime loop
+    (``transform(sequence(0,63), seed -> …)``) measured 12× slower —
+    nested higher-order lambdas evaluate interpreted per element,
+    while unrolled literal seeds stay codegen'd. Seeds bind via a
+    closure factory, NOT an ``i=i`` default arg (pyspark treats a
+    second lambda parameter as the array-index variable)."""
 
     def hash_with_seed(seed: int):
         lit_seed = F.lit(seed)

@@ -73,15 +73,24 @@ def _hyperplane_sign(j: int, d: int) -> int:
 
 
 def hyperplane_bits(vec: Column, n_bits: int, dims: int, offset: int = 0) -> Column:
-    """LSH bit array: bit j = 1 iff Σ_d sign(j+offset,d)·vec[d] > 0."""
-    bits = []
-    for j in range(n_bits):
-        proj = None
-        for d in range(dims):
-            term = F.element_at(vec, d + 1).cast("double") * _hyperplane_sign(j + offset, d)
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.array(*bits)
+    """LSH bit array: bit j = 1 iff Σ_d sign(j+offset,d)·vec[d] > 0.
+
+    The hyperplane matrix is a literal array-of-arrays and the
+    projection a runtime ``zip_with``+``aggregate`` left fold — the
+    same IEEE-double sum order as an unrolled ``t0+t1+…`` chain (so
+    SQL oracles stay bit-identical), but with an O(1)-size expression
+    tree instead of O(n_bits·dims) (a 64×64 unrolled tree forces
+    codegen fallback and ~30× slower evaluation)."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(float(_hyperplane_sign(j + offset, d))) for d in range(dims)])
+            for j in range(n_bits)
+        ]
+    )
+    return F.transform(
+        planes,
+        lambda w: F.when(dot(vec, w) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
 
 
 def hyperplane_bucket(vec: Column, n_bits: int, dims: int, offset: int = 0) -> Column:
