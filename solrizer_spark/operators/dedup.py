@@ -105,6 +105,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 64,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
 
@@ -127,6 +128,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_n).alias("_sh"),
     ).withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
+    if persist_base:
+        # the shingle/signature base feeds banding AND both sides of
+        # the verification join — without persistence it is computed
+        # three times (measured ~1.5× total). At 10^12 scale write the
+        # signatures to a table instead and set persist_base=False.
+        base = base.persist()
 
     # band keys: hash of each signature slice → (band_idx, band_key)
     band_key = F.explode(

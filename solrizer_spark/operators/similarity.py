@@ -186,12 +186,17 @@ def embedding_near_dup_pairs(
     band_bits: int = 8,
     bands: int = 8,
     max_bucket: int = 64,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded hyperplane LSH →
     candidate pairs → exact cosine ≥ threshold. With 8 bands × 8 bits,
     a pair at cos 0.999 collides in ≥1 band with P ≈ 1−3e-8; random
     pairs (cos≈0) collide with P ≈ 8/256."""
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if persist_base:
+        # feeds banding + both verification-join sides (see
+        # dedup.minhash_lsh_pairs)
+        base = base.persist()
     banded = base.select(
         "_id",
         "_v",
