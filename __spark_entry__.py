@@ -240,6 +240,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash("text", bits=32).alias("simhash32"))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 via the pigeonhole band
+    trick). The chunking guarantees total recall at the threshold, so
+    the exact cross-join oracle matches bit-for-bit."""
+    from solrizer_spark.operators.dedup import simhash_near_dup_pairs
+
+    union = _with_near_dups(spark, sf_dir)
+    return simhash_near_dup_pairs(
+        union, bits=32, max_hamming=3, chunks=4
+    )
+
+
 _QUERY_VEC = [((d % 7) - 3) / 3.0 for d in range(64)]
 
 
@@ -562,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dup": q_embedding_near_dup,
@@ -606,20 +619,39 @@ _SHINGLES_CTE = (
 )
 
 
-def _simhash32_sql() -> str:
-    """32-bit SimHash as generated SQL: token hash = 60-bit md5 prefix,
-    bit b set iff 2·hits_b > n_tokens (== balance > 0)."""
+def _simhash32_terms() -> str:
+    """32-bit SimHash expression over a token-array column ``t``:
+    token hash = 60-bit md5 prefix, bit b set iff 2·hits_b > n."""
     hits = (
         "len(list_filter(t, x -> "
         "((('0x'||substr(md5(x),1,15))::UBIGINT >> {b}) & 1) = 1))"
     )
-    terms = " + ".join(
+    return " + ".join(
         f"(CASE WHEN 2*{hits.format(b=b)} > len(t) THEN (1::BIGINT << {b}) ELSE 0 END)"
         for b in range(32)
     )
+
+
+def _simhash32_sql() -> str:
     return (
-        "SELECT doc_id, CAST(" + terms + " AS BIGINT) AS simhash32 "
+        "SELECT doc_id, CAST(" + _simhash32_terms() + " AS BIGINT) AS simhash32 "
         "FROM (SELECT doc_id, str_split(text,' ') AS t FROM documents)"
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    """Exact hamming-≤3 pairs over the near-dup union — equal to the
+    banded Spark output because the pigeonhole chunking has total
+    recall at the threshold."""
+    return (
+        "WITH toks AS (SELECT doc_id, str_split(text,' ') AS t FROM documents), "
+        "u AS (SELECT doc_id, t FROM toks UNION ALL "
+        "      SELECT doc_id+100000, list_slice(t,1,len(t)-1) FROM toks WHERE doc_id%5=0), "
+        f"s AS (SELECT doc_id, CAST({_simhash32_terms()} AS BIGINT) AS sh FROM u) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"
     )
 
 
@@ -790,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh o JOIN sh c ON c.doc_id = o.doc_id + 100000"
         ),
         "dedup_simhash": _simhash32_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "ann_bruteforce": (
             f"SELECT vec_id, round({_cos_sql(_QUERY_VEC)}, 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
