@@ -66,6 +66,19 @@ def _fragment(fields: list[tuple[str, Column]]) -> Column:
     return F.nullif(body, F.lit(""))
 
 
+def wrap_command(doc: Column | str, command: str = "add") -> Column:
+    """Solr command wrapping (web.py:390-403): ``add`` → the doc
+    nested under ``{"add":{"doc":…}}``; ``none`` → the bare doc. The
+    ``update`` (atomic diff) form is produced by
+    ``operators.atomic.atomic_diff`` instead."""
+    col = F.col(doc) if isinstance(doc, str) else doc
+    if command == "add":
+        return F.concat(F.lit('{"add":{"doc":'), col, F.lit("}}"))
+    if command == "none":
+        return col
+    raise ValueError(f"unknown command {command!r}; expected 'add' or 'none'")
+
+
 def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
     """Assemble ``doc`` from the field columns produced by the chain
     stages (plans/pipeline.py). Field inventory mirrors FIXTURES.md §2.
