@@ -88,8 +88,24 @@ def stage_dates(df: DataFrame, conf: dict) -> DataFrame:
 #: stage appends ``{name}__facet`` for every registered faceter (null
 #: values are omitted from the doc, facets.py:44-47). Users extend by
 #: inserting into this dict before building the pipeline.
+def _ocr_faceter(df: DataFrame):
+    # OCRFacet analog (faceters.py:262-282): present only when the
+    # page carried tagged OCR text; null ⇒ facet omitted
+    return F.when(F.col("is_tagged"), F.lit("Has OCR"))
+
+
+def _domain_faceter(df: DataFrame):
+    # collection-facet analog (AdminSet/ArchivalCollection,
+    # faceters.py:119-154): the crawl corpus's natural grouping
+    from solrizer_spark.functions.urls import registered_domain
+
+    return registered_domain("url")
+
+
 FACETERS: dict[str, Callable[[DataFrame], "object"]] = {
     "language": lambda df: language_name_col("lang"),
+    "ocr": _ocr_faceter,
+    "domain": _domain_faceter,
 }
 
 
