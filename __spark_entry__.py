@@ -247,8 +247,11 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrizer_spark.operators.dedup import simhash_near_dup_pairs
 
     union = _with_near_dups(spark, sf_dir)
+    # max_bucket raised above the corpus size: the oracle is the exact
+    # cross join, so the (production-default) bucket cap must not
+    # truncate here
     return simhash_near_dup_pairs(
-        union, bits=32, max_hamming=3, chunks=4
+        union, bits=32, max_hamming=3, chunks=4, max_bucket=1_000_000
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from solrizer_spark.operators.manifests import (
     build_manifest,
     completed_buckets,
+    corpus_fingerprint,
     filter_completed,
 )
 from solrizer_spark.operators.metrics import attach_observation, build_metrics
@@ -87,11 +88,12 @@ def run_job(
     run_id = uuid.uuid4().hex[:12]
 
     pages = read_pages(spark, input_path)
+    corpus_fp = corpus_fingerprint(pages)
     pages = pages.withColumn("partition_key", url_bucket("url", n_buckets, salt))
 
     done: list[int] = []
     if resume:
-        done = completed_buckets(spark, manifest_path, n_buckets, salt)
+        done = completed_buckets(spark, manifest_path, n_buckets, salt, corpus_fp)
         pages = filter_completed(pages, done)
     skipped = len(done)
 
@@ -172,7 +174,9 @@ def run_job(
     if done:
         written = written.where(~F.col("partition_key").isin(done))
     write_table(
-        build_manifest(written, run_id, n_buckets, salt), manifest_path, mode="append"
+        build_manifest(written, run_id, n_buckets, salt, corpus_fp),
+        manifest_path,
+        mode="append",
     )
     write_table(build_metrics(written, run_id), metrics_path, mode="append")
 

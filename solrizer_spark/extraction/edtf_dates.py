@@ -59,7 +59,10 @@ SEASON_MONTHS: dict[int, tuple[int, int]] = {
 }
 
 _DATE_RE = re.compile(
-    r"^(?P<y>-?\d{4}|-?\d{1,3}X{1,3}|X{4})"
+    # the year is always exactly 4 characters (EDTF level 0/1): a
+    # looser pattern would accept '1X' or '123XXX' and emit
+    # out-of-range Solr years instead of a parse error
+    r"^(?P<y>-?(?:\d{4}|\d{3}X|\d{2}X{2}|\d{1}X{3}|X{4}))"
     r"(?:-(?P<m>\d{2}|XX)(?:-(?P<d>\d{2}|XX))?)?$"
 )
 _EXP_RE = re.compile(r"^Y(?P<mant>-?\d+)E(?P<exp>\d+)$")
@@ -177,8 +180,13 @@ def _strict_bounds(side: _Side) -> tuple[str, str]:
         return _ymd(side.y, lo_m, 1), _ymd(side.y, hi_m, calendar.monthrange(side.y if side.y > 0 else 2001, hi_m)[1])
     if side.kind == "unspecified":
         if side.year_x:
-            lo_y = side.y
-            hi_y = side.y + 10 ** side.year_x - 1
+            span = 10 ** side.year_x - 1
+            if side.y < 0:
+                # '-19XX' denotes the years -1999..-1900: the span
+                # extends AWAY from zero for negative years
+                lo_y, hi_y = side.y - span, side.y
+            else:
+                lo_y, hi_y = side.y, side.y + span
             return _ymd(lo_y, 1, 1), _ymd(hi_y, 12, 31)
         if side.m is None:  # month unspecified
             return _ymd(side.y, 1, 1), _ymd(side.y, 12, 31)
@@ -234,18 +242,32 @@ def _split_interval(s: str) -> tuple[str, str] | None:
     return None
 
 
-def solr_date_range(edtf_string: str) -> str:
-    """EDTF string → Solr DateRange string (solr_date, dates.py:93-141)."""
+def _parse(edtf_string: str) -> list[_Side]:
+    """Parse to one side (single value) or two sides (interval)."""
     s = str(edtf_string).strip()
     if not s:
         raise EDTFParseError("empty EDTF string")
     parts = _split_interval(s)
     if parts is None:
-        return _render_single(_parse_side(s))
+        return [_parse_side(s)]
     lower, upper = _parse_side(parts[0]), _parse_side(parts[1])
     if lower.kind == "open" and upper.kind == "open":
         raise UnsupportedEDTF("fully open interval")
-    return f"[{_render_interval_side(lower, 'lower')} TO {_render_interval_side(upper, 'upper')}]"
+    return [lower, upper]
+
+
+def _render(sides: list[_Side]) -> str:
+    if len(sides) == 1:
+        return _render_single(sides[0])
+    return (
+        f"[{_render_interval_side(sides[0], 'lower')}"
+        f" TO {_render_interval_side(sides[1], 'upper')}]"
+    )
+
+
+def solr_date_range(edtf_string: str) -> str:
+    """EDTF string → Solr DateRange string (solr_date, dates.py:93-141)."""
+    return _render(_parse(edtf_string))
 
 
 def _side_precision(side: _Side) -> int | None:
@@ -268,33 +290,26 @@ def _side_precision(side: _Side) -> int | None:
     return PRECISION["year"]
 
 
+def _precision(sides: list[_Side]) -> int | None:
+    precisions = [p for p in (_side_precision(x) for x in sides) if p is not None]
+    return min(precisions) if precisions else None
+
+
 def edtf_precision(edtf_string: str) -> int | None:
     """EDTF string → precision int 1–6 (get_precision, dates.py:144-172)."""
-    s = str(edtf_string).strip()
-    parts = _split_interval(s)
-    if parts is None:
-        return _side_precision(_parse_side(s))
-    precisions = [
-        p
-        for p in (_side_precision(_parse_side(parts[0])), _side_precision(_parse_side(parts[1])))
-        if p is not None
-    ]
-    return min(precisions) if precisions else None
+    return _precision(_parse(edtf_string))
 
 
 def edtf_fields(edtf_string: str) -> dict:
     """The 5-field bundle the dates indexer emits per ``*__edtf`` field
-    (date_fields, dates.py:46-81). Raises on unsupported/unparseable."""
-    s = str(edtf_string).strip()
-    parts = _split_interval(s)
-    if parts is None:
-        sides = [_parse_side(s)]
-    else:
-        sides = [_parse_side(parts[0]), _parse_side(parts[1])]
+    (date_fields, dates.py:46-81). Raises on unsupported/unparseable.
+    Parses once; render and precision share the parsed sides (this is
+    the vectorized UDF's per-row hot path)."""
+    sides = _parse(edtf_string)
     return {
-        "dt": solr_date_range(s),
+        "dt": _render(sides),
         "is_uncertain": any(x.uncertain for x in sides),
         "is_approximate": any(x.approximate for x in sides),
         "is_uncertain_and_approximate": any(x.both for x in sides),
-        "precision": edtf_precision(s),
+        "precision": _precision(sides),
     }

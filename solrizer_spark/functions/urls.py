@@ -81,7 +81,7 @@ def normalize_url(url: Column | str) -> Column:
     ).otherwise(path)
     query = F.regexp_extract(col, _QUERY_RE, 1)
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
+    built = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -89,3 +89,7 @@ def normalize_url(url: Column | str) -> Column:
         path,
         F.when(query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
     )
+    # scheme-less inputs pass through unchanged: every component regex
+    # requires a scheme, so without this guard all such URLs collapse
+    # to the single string ':///' and url-dedup would merge them
+    return F.when(scheme == "", raw).otherwise(built)

@@ -35,14 +35,27 @@ def atomic_diff(
     ``{'set': value}`` entries for changed fields only. Unchanged rows
     are dropped (the reference returns an empty update for them).
     """
+    old_cols = {f.name for f in old.schema.fields}
+    new_cols = {f.name for f in new.schema.fields}
     if fields is None:
-        fields = [
-            f.name
-            for f in new.schema.fields
-            if f.name != id_col and f.name not in skip and f.name in {x.name for x in old.schema.fields}
-        ]
-    o = old.select(id_col, *fields).alias("o")
-    n = new.select(id_col, *fields).alias("n")
+        # UNION of the schemas: a field added in the new snapshot must
+        # emit {'set': value} for existing docs, and a field dropped
+        # from the new schema must emit {'set': null} (solr.py:27-58)
+        fields = sorted((old_cols | new_cols) - {id_col} - set(skip))
+
+    types = {f.name: f.dataType for f in list(old.schema.fields) + list(new.schema.fields)}
+
+    def side(df, cols_present):
+        return df.select(
+            id_col,
+            *[
+                F.col(f) if f in cols_present else F.lit(None).cast(types[f]).alias(f)
+                for f in fields
+            ],
+        )
+
+    o = side(old, old_cols).alias("o")
+    n = side(new, new_cols).alias("n")
     joined = o.join(n, on=F.col(f"o.{id_col}") == F.col(f"n.{id_col}"), how="full_outer")
 
     in_old = F.col(f"o.{id_col}").isNotNull()

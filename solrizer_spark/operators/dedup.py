@@ -83,6 +83,26 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     return jaccard(word_shingles(text_a, n), word_shingles(text_b, n))
 
 
+def bucket_pairs(items: Column) -> Column:
+    """All (i < j) pairs within a bucket's member array, as
+    ``array<struct<a, b>>`` over the member elements — the shared
+    triangle enumeration used by every LSH candidate generator here.
+    Callers cap and sort the member array first (deterministic
+    truncation)."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(items) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(items)),
+                lambda j: F.struct(
+                    F.element_at(items, i).alias("a"),
+                    F.element_at(items, j).alias("b"),
+                ),
+            ),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content-hash exact dedup: one row per distinct content with the
     canonical (minimum) id and the duplicate count. One shuffle, map-
@@ -119,9 +139,9 @@ def minhash_lsh_pairs(
 
     Buckets larger than ``max_bucket`` are truncated after an
     order-by-id sort inside the bucket (deterministic), bounding the
-    quadratic blow-up of degenerate clusters; truncation is observable
-    in the ``truncated_buckets`` accumulator column of the plan when
-    needed.
+    quadratic blow-up of degenerate clusters (audit truncation by
+    comparing ``size(collect_list)`` against ``max_bucket`` on the
+    bucket aggregation if needed).
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -162,23 +182,8 @@ def minhash_lsh_pairs(
     )
     # pairs within bucket (i<j), dedup across bands
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ids") - 1),
-                        lambda i: F.transform(
-                            F.sequence(i + 1, F.size("ids")),
-                            lambda j: F.struct(
-                                F.element_at(F.col("ids"), i).alias("id_a"),
-                                F.element_at(F.col("ids"), j).alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
+        buckets.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     # exact verification on candidates only
@@ -226,12 +231,19 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     using the pigeonhole band trick: split the fingerprint into
     ``chunks`` ≥ ``max_hamming+1`` chunks — any pair within distance d
     shares at least one exact chunk — group by (chunk_idx, chunk
-    value), pair within buckets, verify with bit_count."""
+    value), pair within buckets, verify with bit_count.
+
+    ``max_bucket`` caps degenerate buckets (every empty/boilerplate
+    page shares one fingerprint; an uncapped collect_list there is an
+    OOM and an O(n²) pair explosion). Within the cap the pigeonhole
+    guarantee is total recall; truncated buckets trade recall for
+    boundedness, like minhash_lsh_pairs."""
     assert chunks >= max_hamming + 1
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
@@ -253,26 +265,15 @@ def simhash_near_dup_pairs(
     )
     buckets = (
         chunked.groupBy("ck.chunk", "ck.val")
-        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sh"))).alias("members"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_id", "_sh"))), 1, max_bucket
+            ).alias("members")
+        )
         .where(F.size("members") > 1)
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("members") - 1),
-                        lambda i: F.transform(
-                            F.sequence(i + 1, F.size("members")),
-                            lambda j: F.struct(
-                                F.element_at(F.col("members"), i).alias("a"),
-                                F.element_at(F.col("members"), j).alias("b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p"))
         .select(
             F.col("p.a._id").alias("id_a"),
             F.col("p.b._id").alias("id_b"),

@@ -44,12 +44,24 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType()),
         T.StructField("n_buckets", T.IntegerType()),
         T.StructField("salt", T.IntegerType()),
+        T.StructField("corpus_fp", T.StringType()),
     ]
 )
 
 
+def corpus_fingerprint(df) -> str:
+    """Fingerprint of the input file set. A bucket marked complete is
+    only complete FOR THE CORPUS IT SAW: if the input grows, new pages
+    hash into already-complete buckets and a fingerprint-less resume
+    would silently skip them."""
+    import hashlib
+
+    files = sorted(df.inputFiles())
+    return hashlib.md5("\n".join(files).encode()).hexdigest()
+
+
 def build_manifest(
-    docs: DataFrame, run_id: str, n_buckets: int, salt: int
+    docs: DataFrame, run_id: str, n_buckets: int, salt: int, corpus_fp: str = ""
 ) -> DataFrame:
     """One completion row per bucket, derived from written docs."""
     return (
@@ -62,15 +74,20 @@ def build_manifest(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("n_buckets", F.lit(n_buckets))
         .withColumn("salt", F.lit(salt))
+        .withColumn("corpus_fp", F.lit(corpus_fp))
         .select([f.name for f in MANIFEST_SCHEMA.fields])
     )
 
 
 def completed_buckets(
-    spark: SparkSession, manifest_path: str, n_buckets: int, salt: int
+    spark: SparkSession,
+    manifest_path: str,
+    n_buckets: int,
+    salt: int,
+    corpus_fp: str = "",
 ) -> list[int]:
-    """Bucket ids already marked complete for this (n_buckets, salt)
-    configuration. Missing manifest table ⇒ nothing completed."""
+    """Bucket ids already marked complete for this (corpus, n_buckets,
+    salt) configuration. Missing manifest table ⇒ nothing completed."""
     try:
         m = spark.read.parquet(manifest_path)
     except Exception:
@@ -80,6 +97,7 @@ def completed_buckets(
             (F.col("status") == "complete")
             & (F.col("n_buckets") == n_buckets)
             & (F.col("salt") == salt)
+            & (F.col("corpus_fp") == corpus_fp)
         )
         .select("partition_key")
         .distinct()

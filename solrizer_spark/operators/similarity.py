@@ -39,7 +39,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-safe cosine: a zero vector (failed/padded embedding)
+    scores 0.0 instead of dividing by zero — Spark 4's default ANSI
+    mode turns the division into a job-killing
+    SparkArithmeticException, and with ANSI off the NaN would rank
+    above every real similarity."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -217,24 +223,11 @@ def embedding_near_dup_pairs(
         .agg(F.slice(F.array_sort(F.collect_list("_id")), 1, max_bucket).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    from solrizer_spark.operators.dedup import bucket_pairs
+
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ids") - 1),
-                        lambda i: F.transform(
-                            F.sequence(i + 1, F.size("ids")),
-                            lambda j: F.struct(
-                                F.element_at(F.col("ids"), i).alias("id_a"),
-                                F.element_at(F.col("ids"), j).alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
+        buckets.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     vecs = base

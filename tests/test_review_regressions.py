@@ -94,3 +94,64 @@ def test_gap_clash_rejected(spark):
             )
     finally:
         del FACETERS["title__txt_style"]
+
+
+def test_cosine_zero_vector_safe(spark):
+    """Zero-norm embeddings must not kill the job under ANSI mode."""
+    from solrizer_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    sims = {r.vec_id: r.cos_sim for r in top}
+    assert sims[2] == 0.0  # zero vector scores 0, never NaN/top-ranked
+    assert top[0].vec_id == 1
+
+
+def test_schemeless_urls_pass_through(spark):
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.functions.urls import normalize_url
+
+    rows = [("example.com/a",), ("www.other.org/b",), ("//cdn.x.com/y",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.c for r in df.select(normalize_url("url").alias("c")).collect()]
+    assert got == ["example.com/a", "www.other.org/b", "//cdn.x.com/y"]
+    assert len(set(got)) == 3  # no collapse into one dedup group
+
+
+def test_resume_ignores_stale_corpus_fingerprint(spark, corpus_dir, tmp_path):
+    """Manifests from a different (smaller) corpus must not suppress
+    new pages on resume."""
+    import os
+
+    from solrizer_spark.corpus.generator import write_corpus
+    from job import run_job
+
+    small = str(tmp_path / "small")
+    write_corpus(small, n_pages=50, seed=42)
+    out = str(tmp_path / "out")
+    run_job(spark, small + "/pages", out, n_buckets=8)
+    # corpus grows: resume against the full corpus must re-run all
+    # buckets (fingerprint mismatch), not skip them
+    stats = run_job(
+        spark, os.path.join(corpus_dir, "pages"), out, n_buckets=8, resume=True
+    )
+    assert stats["skipped_buckets"] == 0
+    assert stats["n_docs"] == 200
+
+
+def test_atomic_diff_schema_union(spark):
+    from solrizer_spark.operators.atomic import atomic_diff
+
+    old = spark.createDataFrame([(1, "t1"), (2, "t2")], "id long, title string")
+    new = spark.createDataFrame(
+        [(1, "t1", "s1"), (2, "t2", None)], "id long, title string, subtitle string"
+    )
+    rows = atomic_diff(old, new).collect()
+    by_id = {(r.id): r for r in rows}
+    # new column emitted as set for docs that have it
+    assert "subtitle" in by_id[1].updates
+    assert '"set":"s1"' in by_id[1].updates["subtitle"]
+    assert 2 not in by_id  # null-valued new field on doc 2 = no change? no:
+    # old side had no subtitle (null) and new is null → eqNullSafe → unchanged
