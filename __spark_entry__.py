@@ -564,6 +564,40 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_RATES = {"en": 0.2, "de": 0.5, "zh": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus mixing (hash-based sampleBy
+    analog; reproducible across engines/reruns)."""
+    from solrizer_spark.operators.sampling import stratified_hash_sample
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("key"), "lang"
+    )
+    out = stratified_hash_sample(
+        docs, "key", "lang", _SAMPLE_RATES, default_fraction=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report: docs, token volume, mean quality,
+    exact median length (percentile parity with quantile_cont)."""
+    from solrizer_spark.functions.text_stats import quality_score, token_count
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.round(F.avg(quality_score("text")), 4).alias("avg_quality"),
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -596,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
+        "stratified_sample": q_stratified_sample,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -975,6 +1011,30 @@ def oracle_sql() -> dict[str, str]:
             ") AS hashes FROM documents))"
         ),
         "ann_ivf": _ivf_oracle_sql(),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 100) < "
+            "(CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'zh' THEN 100 "
+            "ELSE 10 END)"
+        ),
+        "corpus_stats": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(len(str_split(text,' '))) AS BIGINT) AS total_tokens, "
+            "round(avg(q), 4) AS avg_quality, "
+            "quantile_cont(n_chars, 0.5) AS median_chars "
+            "FROM (SELECT lang, text, n_chars, "
+            "round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)"
+            " + (CASE WHEN CAST(length(text) AS DOUBLE)/n >= 3.0 "
+            "        AND CAST(length(text) AS DOUBLE)/n <= 12.0 THEN 1.0 ELSE 0.0 END)"
+            " + (CASE WHEN CAST(length(text) - length(regexp_replace(text,"
+            " '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)/length(text) <= 0.2"
+            "        THEN 1.0 ELSE 0.0 END)"
+            " + (CASE WHEN CAST(len(list_filter(t, x -> x IN "
+            "('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE)/n"
+            "        >= 0.01 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS q "
+            "FROM (SELECT lang, text, n_chars, str_split(text,' ') AS t,"
+            " len(str_split(text,' ')) AS n FROM documents)) GROUP BY lang"
+        ),
         "token_counts": (
             "SELECT doc_id, "
             "len(str_split(text, ' ')) AS ws_tokens, "

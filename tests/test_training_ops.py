@@ -238,3 +238,19 @@ def test_bpe_token_count(spark):
     df = spark.createDataFrame([("Hello, world! 42x",)], "text string")
     # runs: Hello / , / world / ! / 42 / x  → 6
     assert df.select(bpe_token_count("text").alias("n")).first().n == 6
+
+
+def test_hash_sampling_deterministic_and_stratified(spark):
+    from solrizer_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    rows = [(i, str(i), "en" if i % 2 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, key string, lang string")
+    s1 = {r.id for r in hash_sample(df, "key", 0.3).collect()}
+    s2 = {r.id for r in hash_sample(df, "key", 0.3).collect()}
+    assert s1 == s2  # reproducible
+    assert 200 < len(s1) < 400  # ≈30%
+    assert hash_sample(df, "key", 0.3, salt="other") .count() != 0
+    strat = stratified_hash_sample(df, "key", "lang", {"en": 1.0, "de": 0.0})
+    got = strat.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert by.get("en") == 500 and "de" not in by
