@@ -25,8 +25,30 @@ candidates only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def cap_bucket_rows(df: DataFrame, keys: list[Column], order: list[Column], max_bucket: int) -> DataFrame:
+    """Keep at most ``max_bucket`` rows per bucket, chosen
+    deterministically (lowest ``order`` first), BEFORE any aggregation.
+
+    This is the memory-safe form of bucket capping: a
+    ``collect_list``-then-``slice`` bounds the *pair explosion* but
+    still materializes the whole degenerate bucket in the aggregation
+    buffer first — at 10^12-document scale a boilerplate/empty-page
+    fingerprint bucket with 10^8 members OOMs the executor before the
+    slice runs. ``row_number`` instead rides Spark's external
+    (spill-to-disk) sort, so the aggregation only ever sees
+    ``max_bucket`` rows per key. The downstream groupBy shares the
+    window's hash partitioning, so the cap adds a sort but no extra
+    shuffle."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_bucket_rn", F.row_number().over(w))
+        .where(F.col("_bucket_rn") <= max_bucket)
+        .drop("_bucket_rn")
+    )
 
 #: 60-bit token hash with an exact DuckDB equivalent:
 #: ``('0x' || substr(md5(t),1,15))::UBIGINT`` — keeps oracles honest.
@@ -137,11 +159,10 @@ def minhash_lsh_pairs(
     at s=0.7, ≈0.047 at s=0.2 — so verification work stays near-linear
     while recall at the threshold is effectively total.
 
-    Buckets larger than ``max_bucket`` are truncated after an
-    order-by-id sort inside the bucket (deterministic), bounding the
-    quadratic blow-up of degenerate clusters (audit truncation by
-    comparing ``size(collect_list)`` against ``max_bucket`` on the
-    bucket aggregation if needed).
+    Buckets larger than ``max_bucket`` are truncated to their
+    ``max_bucket`` lowest ids *before* aggregation (see
+    :func:`cap_bucket_rows`), bounding both the quadratic pair
+    blow-up AND the aggregation-buffer memory of degenerate clusters.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -175,9 +196,17 @@ def minhash_lsh_pairs(
     )
     banded = base.select("_id", "_sh", band_key.alias("bk"))
 
+    # cap BEFORE aggregating: the groupBy's collect_list then holds at
+    # most max_bucket ids, so degenerate buckets can't OOM (the window
+    # keeps the max_bucket lowest ids — same members as the old
+    # slice(array_sort(collect_list)) form, without materializing the
+    # full bucket)
+    capped = cap_bucket_rows(
+        banded, [F.col("bk.band"), F.col("bk.key")], [F.col("_id")], max_bucket
+    )
     buckets = (
-        banded.groupBy(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .agg(F.slice(F.array_sort(F.collect_list("_id")), 1, max_bucket).alias("ids"))
+        capped.groupBy(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
     # pairs within bucket (i<j), dedup across bands
@@ -203,25 +232,38 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
 
     Token hash = 60-bit md5 prefix (DuckDB-reproducible). For each bit
     position b, the sign of Σ_tokens (2·bit_b(h)−1) sets output bit b.
-    Default 32 bits keeps the expression tree manageable for codegen;
-    the fingerprint is a BIGINT.
+    Default 32 bits keeps the expression tree manageable; the
+    fingerprint is a BIGINT.
+
+    Single-pass: each token is md5-hashed ONCE, then one ``aggregate``
+    folds all ``bits`` bit-balances in a ``bits``-element accumulator
+    array updated with ``zip_with`` (an earlier form ran one aggregate
+    per bit — 32 redundant md5 passes over every token). Balance sums
+    are integers, so the fold order can't change the fingerprint.
     """
     col = F.col(text) if isinstance(text, str) else text
     toks = F.split(col, " ")
-
-    def balance_for(bit: int):
-        mask = F.lit(1 << bit)
-        return lambda acc, t: (
-            acc + (md5_hash60(t).bitwiseAND(mask) != 0).cast("long") * 2 - 1
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        balance = F.aggregate(toks, F.lit(0).cast("long"), balance_for(b))
-        out = out + F.when(balance > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    hashes = F.transform(toks, md5_hash60)
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zero = F.array(*([F.lit(0).cast("long")] * bits))
+    balances = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + (h.bitwiseAND(m) != 0).cast("long") * 2 - 1,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            balances,
+            masks,
+            lambda bal, m: F.when(bal > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_near_dup_pairs(
@@ -240,10 +282,12 @@ def simhash_near_dup_pairs(
     value), pair within buckets, verify with bit_count.
 
     ``max_bucket`` caps degenerate buckets (every empty/boilerplate
-    page shares one fingerprint; an uncapped collect_list there is an
-    OOM and an O(n²) pair explosion). Within the cap the pigeonhole
-    guarantee is total recall; truncated buckets trade recall for
-    boundedness, like minhash_lsh_pairs."""
+    page shares one fingerprint — an uncapped bucket is an O(n²) pair
+    explosion). The cap applies BEFORE aggregation
+    (:func:`cap_bucket_rows`), so the aggregation buffer is bounded
+    too. Within the cap the pigeonhole guarantee is total recall;
+    truncated buckets trade recall for boundedness, like
+    minhash_lsh_pairs."""
     assert chunks >= max_hamming + 1
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
@@ -263,13 +307,12 @@ def simhash_near_dup_pairs(
             )
         ).alias("ck"),
     )
+    capped = cap_bucket_rows(
+        chunked, [F.col("ck.chunk"), F.col("ck.val")], [F.col("_id"), F.col("_sh")], max_bucket
+    )
     buckets = (
-        chunked.groupBy("ck.chunk", "ck.val")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("_id", "_sh"))), 1, max_bucket
-            ).alias("members")
-        )
+        capped.groupBy("ck.chunk", "ck.val")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sh"))).alias("members"))
         .where(F.size("members") > 1)
     )
     pairs = (

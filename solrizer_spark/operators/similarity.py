@@ -218,12 +218,18 @@ def embedding_near_dup_pairs(
             )
         ).alias("bk"),
     )
+    from solrizer_spark.operators.dedup import bucket_pairs, cap_bucket_rows
+
+    # pre-aggregation cap: bounds the collect_list buffer, not just the
+    # pair fan-out (see dedup.cap_bucket_rows)
+    capped = cap_bucket_rows(
+        banded, [F.col("bk.band"), F.col("bk.key")], [F.col("_id")], max_bucket
+    )
     buckets = (
-        banded.groupBy("bk.band", "bk.key")
-        .agg(F.slice(F.array_sort(F.collect_list("_id")), 1, max_bucket).alias("ids"))
+        capped.groupBy("bk.band", "bk.key")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    from solrizer_spark.operators.dedup import bucket_pairs
 
     pairs = (
         buckets.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))

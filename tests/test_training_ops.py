@@ -254,3 +254,46 @@ def test_hash_sampling_deterministic_and_stratified(spark):
     got = strat.groupBy("lang").count().collect()
     by = {r.lang: r["count"] for r in got}
     assert by.get("en") == 500 and "de" not in by
+
+
+def test_degenerate_bucket_cap_bounds_members_and_memory(spark):
+    """A pathological cluster (10^5 identical docs → one LSH bucket in
+    every band) must (a) complete, (b) emit exactly C(cap,2) pairs over
+    the cap lowest ids, and (c) cap rows BEFORE the aggregation so the
+    collect_list buffer never holds the whole bucket (the plan's
+    row_number filter sits below the aggregate)."""
+    from solrizer_spark.operators.dedup import minhash_lsh_pairs
+
+    n, cap = 100_000, 8
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate empty page placeholder text repeated verbatim").alias("text"),
+    )
+    pairs_df = minhash_lsh_pairs(
+        docs, shingle_n=3, num_hashes=16, bands=4, threshold=0.5, max_bucket=cap
+    )
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan  # pre-aggregation cap present
+    pairs = pairs_df.collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == set(range(cap))  # deterministic: the cap lowest ids
+    assert all(r.jaccard_sim == 1.0 for r in pairs)
+
+
+def test_simhash_bucket_cap_pre_aggregation(spark):
+    """Same bounded-bucket guarantee for the SimHash pigeonhole path."""
+    from solrizer_spark.operators.dedup import simhash_near_dup_pairs
+
+    n, cap = 20_000, 6
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical fingerprint text for every row").alias("text"),
+    )
+    pairs = simhash_near_dup_pairs(
+        docs, bits=32, max_hamming=3, chunks=4, max_bucket=cap
+    ).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == set(range(cap))
+    assert all(r.hamming == 0 for r in pairs)
