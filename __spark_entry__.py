@@ -115,6 +115,35 @@ def q_doc_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aggregate_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jq-style aggregate fields (aggregate_fields.py:22-44 +
+    indexer-settings.yml:7-26): omnibus text and identifier lists,
+    including a recursive-descent program (``..|objects|.x``) that
+    reaches into the ``pages`` child docs. Exercises all three jq
+    shapes the reference settings use: plain/optional field, optional
+    missing field, and recursive descent."""
+    from solrizer_spark.plans.pipeline import run_chain
+
+    pages = _wrap_pages(spark, sf_dir, boilerplate=True)
+    chain = [
+        "extract", "content_model", "discoverability", "dates", "facets",
+        "child_docs", "aggregate_fields", "doc",
+    ]
+    conf = {
+        "include_blocks": True,
+        "aggregate_fields": {
+            "agg_text": [".title?", ".extracted_text", "..|objects|.page__text__txt"],
+            "agg_identifier": [".id", ".described_by__uri?", "..|objects|.id", ".missing_col?"],
+        },
+    }
+    out = run_chain(pages, chain, conf)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("agg_text"), "|").alias("text_joined"),
+        F.array_join(F.col("agg_identifier"), "|").alias("ident_joined"),
+    )
+
+
 def q_lang_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet aggregation (LanguageFacet, faceters.py:220-237 +
     language_name :76-84): facet value distribution."""
@@ -128,22 +157,113 @@ def q_lang_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S36 faceter primitives through a configured facets chain:
+    substring-test (CensorshipFacet, faceters.py:157-182),
+    split-at-first-comma (ResourceTypeFacet, faceters.py:366), and the
+    two membership-flag facets (PublicationStatus/Visibility,
+    faceters.py:300-312,412-424) over deterministically synthesized
+    source columns."""
+    from solrizer_spark.plans.pipeline import run_chain
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    m4 = F.col("doc_id") % 4
+    description = (
+        F.when(m4 == 0, F.lit("Notes. Censorship Information. CCD Action: Yes. End"))
+        .when(m4 == 1, F.lit("Notes. Censorship Information. CCD Action: No. End"))
+        .when(m4 == 2, F.lit("A plain description with no markers"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    fmt = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("Photograph")
+    ).otherwise(
+        F.concat(F.lit("Genre "), (F.col("doc_id") % 5).cast("string"), F.lit(", 3 pages, color"))
+    )
+    rdf = F.array(F.lit("pcdm:Object"))
+    rdf = F.when(F.col("doc_id") % 2 == 0, F.array_append(rdf, F.lit("umdaccess:Published"))).otherwise(rdf)
+    rdf = F.when(F.col("doc_id") % 3 == 0, F.array_append(rdf, F.lit("umdaccess:Hidden"))).otherwise(rdf)
+    base = (
+        docs.withColumn("description", description)
+        .withColumn("format", fmt)
+        .withColumn("rdf_types", rdf)
+        .withColumn("object__rdf_type__curies", rdf)  # prior-stage field
+    )
+    out = run_chain(
+        base,
+        ["facets"],
+        conf={"faceters": ["language", "censorship", "resource_type",
+                           "publication_status", "visibility", "rdf_type"]},
+    )
+    return out.select(
+        "doc_id",
+        F.col("censorship__facet").alias("censorship"),
+        F.col("resource_type__facet").alias("resource_type"),
+        F.col("publication_status__facet").alias("publication_status"),
+        F.col("visibility__facet").alias("visibility"),
+        F.array_join(F.col("rdf_type__facet"), "|").alias("rdf_type"),
+    )
+
+
+def q_facet_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33 rights faceter: broadcast vocab-dim join with URI fallback
+    (rights_statement_label, faceters.py:61-73), then the facet-count
+    aggregation form."""
+    from solrizer_spark.functions.faceters import RIGHTS_VOCAB
+    from solrizer_spark.plans.pipeline import run_chain
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = F.col("doc_id") % 7
+    uri = F.lit(f"http://example.org/unknown-rights/")
+    expr = F.concat(uri, (F.col("doc_id") % 3).cast("string"))
+    for i, (vocab_uri, _) in enumerate(RIGHTS_VOCAB):
+        expr = F.when(m == i, F.lit(vocab_uri)).otherwise(expr)
+    base = docs.withColumn("rights__uri", expr)
+    out = run_chain(base, ["facets"], conf={"faceters": ["rights"]})
+    return out.groupBy(F.col("rights__facet").alias("rights_facet")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23)."""
+    """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
+    including sub-second passthrough: a deterministic microsecond
+    offset is added per event (zero for event_id%1500==0, so both the
+    fractional and whole-second render paths are pinned)."""
     from solrizer_spark.functions.datetime_fns import solr_timestamp
 
     ev = _table(spark, sf_dir, "events")
-    return ev.select("event_id", solr_timestamp("ts").alias("ts_solr"))
+    with_micro = F.timestamp_add(
+        "MICROSECOND", (F.col("event_id") % 1500 * 667).cast("long"), F.col("ts")
+    )
+    return ev.select(
+        "event_id",
+        solr_timestamp("ts").alias("ts_solr"),
+        solr_timestamp(with_micro).alias("ts_solr_micro"),
+    )
 
 
 def q_page_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered page sequence → positional concat (page_sequence.py:28-71
-    + ' '.join, extracted_text.py:58): lineitem lines as 'pages' of an
-    order, ordered by line number."""
-    li = _table(spark, sf_dir, "lineitem")
+    """Ordered page sequence → positional concat + labels
+    (page_sequence.py:28-71 + ' '.join, extracted_text.py:58):
+    lineitem lines as 'pages' of an order, ordered by line number.
+    Odd-positioned pages carry a title (the comment); even ones fall
+    back to the ``[Page N]`` placeholder (PageSequence.labels)."""
+    from solrizer_spark.operators.extract import page_labels
+
+    li = _table(spark, sf_dir, "lineitem").withColumn(
+        "title",
+        F.when(
+            F.col("l_linenumber") % 2 == 1,
+            F.concat(F.lit("T-"), F.col("l_returnflag"), F.col("l_linestatus")),
+        ),
+    )
     pages = F.array_sort(
         F.collect_list(
-            F.struct(F.col("l_linenumber"), F.col("l_quantity").cast("int").alias("qty"))
+            F.struct(
+                F.col("l_linenumber"),
+                F.col("l_quantity").cast("int").alias("qty"),
+                F.col("title"),
+            )
         )
     )
     return (
@@ -153,6 +273,7 @@ def q_page_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(pages, lambda p: p["qty"].cast("string")), " "
             ).alias("page_text"),
+            F.array_join(page_labels(pages), "|").alias("page_labels"),
         )
     )
 
@@ -422,6 +543,68 @@ def q_iiif_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", iiif_identifier(path).alias("iiif_id"))
 
 
+def q_iiif_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IIIF links fields (iiif_links_fields, iiif_links.py:46-68):
+    manifest id + URITemplate-expanded manifest URI, and per-page
+    thumbnail ids/URIs via the best-image preference cascade
+    (preservation-master image → tiff → jpeg → any image) with the
+    ``static:unavailable`` fallback. Page 1 exercises a different
+    cascade tier per doc_id%4; page 2 always has no files."""
+    from solrizer_spark.plans.pipeline import run_chain
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id").cast("string")
+
+    def ffile(mime: str, rdf: list[str], path: Column) -> Column:
+        return F.struct(
+            F.lit(mime).alias("mime_type"),
+            F.array(*[F.lit(r) for r in rdf]).cast("array<string>").alias("rdf_types"),
+            path.alias("path"),
+        )
+
+    p = lambda leaf: F.concat(F.lit("/files/"), k, F.lit("/" + leaf))
+    m4 = F.col("doc_id") % 4
+    page1_files = (
+        F.when(m4 == 0, F.array(
+            ffile("image/tiff", ["pcdmuse:PreservationMasterFile"], p("pres")),
+            ffile("image/jpeg", [], p("decoy")),
+        ))
+        .when(m4 == 1, F.array(
+            ffile("text/plain", ["pcdmuse:PreservationMasterFile"], p("txt")),
+            ffile("image/tiff", [], p("tiff")),
+            ffile("image/jpeg", [], p("decoy")),
+        ))
+        .when(m4 == 2, F.array(
+            ffile("text/html", [], p("html")),
+            ffile("image/jpeg", [], p("jpeg")),
+            ffile("image/png", [], p("decoy")),
+        ))
+        .otherwise(F.array(
+            ffile("text/html", [], p("html")),
+            ffile("image/png", [], p("png")),
+        ))
+    )
+    empty_files = F.array().cast(
+        "array<struct<mime_type:string,rdf_types:array<string>,path:string>>"
+    )
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://repo.example.org/obj/"), k).alias("url"),
+        F.array(
+            F.struct(page1_files.alias("page__has_file")),
+            F.struct(empty_files.alias("page__has_file")),
+        ).alias("pages"),
+    )
+    out = run_chain(base, ["iiif_links"], conf={})
+    return out.select(
+        "doc_id",
+        F.col("iiif_manifest__id").alias("manifest_id"),
+        F.col("iiif_manifest__uri").alias("manifest_uri"),
+        F.array_join(F.col("iiif_thumbnail_sequence__ids"), "|").alias("thumb_ids"),
+        F.array_join(F.col("iiif_thumbnail_sequence__uris"), "|").alias("thumb_uris"),
+    )
+
+
 def q_atomic_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Old-vs-new snapshot atomic update diff (solr.py:27-58):
     modified / deleted / added rows over a deterministic mutation of
@@ -603,7 +786,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_strip": q_extract_strip,
         "extract_main_content": q_extract_main_content,
         "doc_fields": q_doc_fields,
+        "aggregate_fields": q_aggregate_fields,
         "lang_facet_counts": q_lang_facet_counts,
+        "facet_primitives": q_facet_primitives,
+        "facet_vocab_join": q_facet_vocab_join,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -624,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curie": q_curie,
         "display_values": q_display_values,
         "iiif_identifier": q_iiif_identifier,
+        "iiif_links": q_iiif_links,
         "atomic_diff": q_atomic_diff,
         "edtf_dates": q_edtf_dates,
         "url_normalize": q_url_normalize,
@@ -773,6 +960,22 @@ def _ivf_oracle_sql() -> str:
     )
 
 
+def _facet_vocab_join_sql() -> str:
+    """Facet-count oracle built from the same RIGHTS_VOCAB dim the
+    Spark faceter broadcasts (label when known, URI fallback)."""
+    from solrizer_spark.functions.faceters import RIGHTS_VOCAB
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{label}'" for i, (_, label) in enumerate(RIGHTS_VOCAB)
+    )
+    return (
+        "SELECT rights_facet, count(*) AS n_docs FROM ("
+        f"SELECT CASE doc_id%7 {whens} "
+        "ELSE 'http://example.org/unknown-rights/' || (doc_id%3) END AS rights_facet "
+        "FROM documents) GROUP BY 1"
+    )
+
+
 def _langid_sql() -> str:
     """Sequential-fold argmax over stopword-profile ratios, mirroring
     text_stats.langid (iteration order = sorted codes, strict > wins)."""
@@ -815,18 +1018,57 @@ def oracle_sql() -> dict[str, str]:
             "true AS is_published, false AS is_hidden, true AS is_top_level, "
             "true AS is_discoverable FROM documents"
         ),
+        "aggregate_fields": (
+            "SELECT doc_id, "
+            "'Doc ' || doc_id || '|' || text || '|' || text AS text_joined, "
+            "'https://corpus.example.org/doc/' || doc_id || '|' "
+            "|| 'https://corpus.example.org/doc/' || doc_id || '|' "
+            "|| 'https://corpus.example.org/doc/' || doc_id || '|' "
+            "|| 'https://corpus.example.org/doc/' || doc_id || '#block-2' AS ident_joined "
+            "FROM documents"
+        ),
         "lang_facet_counts": (
             f"SELECT {_LANG_CASE} AS language_facet, count(*) AS n_docs "
             "FROM documents GROUP BY 1"
         ),
+        "facet_primitives": (
+            "SELECT doc_id, "
+            "CASE doc_id%4 WHEN 0 THEN 'Yes' WHEN 1 THEN 'No' ELSE NULL END AS censorship, "
+            "CASE WHEN doc_id%7=0 THEN 'Photograph' "
+            "ELSE 'Genre ' || (doc_id%5) END AS resource_type, "
+            "CASE WHEN doc_id%2=0 THEN 'Published' ELSE 'Unpublished' END AS publication_status, "
+            "CASE WHEN doc_id%3=0 THEN 'Hidden' ELSE 'Visible' END AS visibility, "
+            "'pcdm:Object' || CASE WHEN doc_id%2=0 THEN '|umdaccess:Published' ELSE '' END "
+            "|| CASE WHEN doc_id%3=0 THEN '|umdaccess:Hidden' ELSE '' END AS rdf_type "
+            "FROM documents"
+        ),
+        "facet_vocab_join": _facet_vocab_join_sql(),
         "solr_timestamp": (
-            "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_solr FROM events"
+            "SELECT event_id, "
+            "CASE WHEN extract(microsecond FROM ts) % 1000000 = 0 "
+            "THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ') "
+            "ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' "
+            "|| lpad(CAST(extract(microsecond FROM ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' "
+            "END AS ts_solr, "
+            "CASE WHEN extract(microsecond FROM ts2) % 1000000 = 0 "
+            "THEN strftime(ts2, '%Y-%m-%dT%H:%M:%SZ') "
+            "ELSE strftime(ts2, '%Y-%m-%dT%H:%M:%S') || '.' "
+            "|| lpad(CAST(extract(microsecond FROM ts2) % 1000000 AS VARCHAR), 6, '0') || 'Z' "
+            "END AS ts_solr_micro "
+            "FROM (SELECT event_id, ts, "
+            "ts + to_microseconds(event_id % 1500 * 667) AS ts2 FROM events)"
         ),
         "page_sequence": (
             "SELECT l_orderkey, count(*) AS page_count, "
-            "string_agg(CAST(CAST(l_quantity AS INT) AS VARCHAR), ' ' "
-            "ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS page_text "
-            "FROM lineitem GROUP BY l_orderkey"
+            "string_agg(CAST(qty AS VARCHAR), ' ' ORDER BY l_linenumber, qty) AS page_text, "
+            "string_agg(coalesce(title, '[Page ' || pos || ']'), '|' "
+            "ORDER BY l_linenumber, qty, title) AS page_labels "
+            "FROM (SELECT l_orderkey, l_linenumber, qty, title, "
+            "row_number() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_linenumber, qty, title) AS pos "
+            "FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty, "
+            "CASE WHEN l_linenumber%2=1 THEN 'T-' || l_returnflag || l_linestatus END AS title "
+            "FROM lineitem)) GROUP BY l_orderkey"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS n_copies FROM ("
@@ -947,6 +1189,17 @@ def oracle_sql() -> dict[str, str]:
         "iiif_identifier": (
             "SELECT doc_id, 'iiif:images:'||doc_id||':page:'||(doc_id%7) AS iiif_id "
             "FROM documents"
+        ),
+        "iiif_links": (
+            "SELECT doc_id, "
+            "'fcrepo:obj:' || doc_id AS manifest_id, "
+            "'https://iiif.example.edu/manifests/fcrepo:obj:' || doc_id AS manifest_uri, "
+            "t1 || '|static:unavailable' AS thumb_ids, "
+            "'https://iiif.example.edu/thumbnails/' || t1 "
+            "|| '|https://iiif.example.edu/thumbnails/static:unavailable' AS thumb_uris "
+            "FROM (SELECT doc_id, 'fcrepo:files:' || doc_id || ':' || "
+            "CASE doc_id%4 WHEN 0 THEN 'pres' WHEN 1 THEN 'tiff' "
+            "WHEN 2 THEN 'jpeg' ELSE 'png' END AS t1 FROM documents)"
         ),
         "atomic_diff": (
             "SELECT doc_id AS id, 'update' AS op, 'text' AS field, "

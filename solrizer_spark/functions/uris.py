@@ -96,12 +96,60 @@ def iiif_identifier(path: Column | str, prefix: str = "iiif:") -> Column:
     return F.concat(F.lit(prefix), F.translate(F.regexp_replace(col, "^/+", ""), "/", ":"))
 
 
+def expand_uri_template(template: str, id_value: Column) -> Column:
+    """URITemplate expansion for the ``id`` variable
+    (iiif_links.py:54-67 uses ``URITemplate(...).expand(id=...)``):
+    the template is split at PLAN time; ``{+id}`` substitutes the raw
+    value (RFC 6570 reserved expansion), ``{id}`` pct-encodes it
+    (simple expansion; we use url_encode with the form-encoding ``+``
+    fixed back to ``%20``)."""
+    import re
+
+    pieces: list[Column] = []
+    for tok in re.split(r"(\{\+?id\})", template):
+        if tok == "{+id}":
+            pieces.append(id_value)
+        elif tok == "{id}":
+            pieces.append(F.replace(F.url_encode(id_value), F.lit("+"), F.lit("%20")))
+        elif tok:
+            pieces.append(F.lit(tok))
+    return F.concat(*pieces)
+
+
+def best_image_file(files: Column) -> Column:
+    """The "best" image file struct by the reference's preference
+    cascade (get_best_image_file, iiif_links.py:107-131):
+    preservation-master image → image/tiff → image/jpeg → any
+    image/*; null when nothing matches (ImageUnavailable analog).
+    Elements are ``struct<mime_type, rdf_types, path>``."""
+    return first_matching(
+        files,
+        lambda f: F.array_contains(f["rdf_types"], "pcdmuse:PreservationMasterFile")
+        & f["mime_type"].startswith("image/"),
+        lambda f: f["mime_type"] == "image/tiff",
+        lambda f: f["mime_type"] == "image/jpeg",
+        lambda f: f["mime_type"].startswith("image/"),
+    )
+
+
+def thumbnail_identifier(files: Column, prefix: str = "iiif:") -> Column:
+    """IIIF identifier of the best image file, or the
+    ``static:unavailable`` placeholder (get_first_file_identifier,
+    iiif_links.py:134-149)."""
+    best = best_image_file(files)
+    return F.coalesce(
+        iiif_identifier(best["path"], prefix), F.lit("static:unavailable")
+    )
+
+
 def first_matching(files: Column, *predicates) -> Column:
     """Preference cascade (iiif_links.py:107-131): the first element of
     the first predicate's non-empty filter result, else null. Each
     predicate is a Column-lambda over the array element."""
     out = F.lit(None)
     for pred in reversed(predicates):
-        candidate = F.element_at(F.filter(files, pred), 1)
+        # try_element_at: an all-false filter yields an EMPTY array and
+        # ANSI-mode element_at would throw instead of returning null
+        candidate = F.try_element_at(F.filter(files, pred), F.lit(1))
         out = F.coalesce(candidate, out)
     return out

@@ -107,6 +107,13 @@ def doc_json_stage(df: DataFrame, conf: dict | None = None) -> DataFrame:
         static.append(("described_by__uri", F.col("described_by__uri")))
     if "agg_identifier" in cols:
         static.append(("identifier", nonempty(F.col("agg_identifier"))))
+    # IIIF link fields (iiif_links.py:63-68 output inventory)
+    for iiif_scalar in ("iiif_manifest__id", "iiif_manifest__uri"):
+        if iiif_scalar in cols:
+            static.append((iiif_scalar, F.col(iiif_scalar)))
+    for iiif_seq in ("iiif_thumbnail_sequence__ids", "iiif_thumbnail_sequence__uris"):
+        if iiif_seq in cols:
+            static.append((iiif_seq, nonempty(F.col(iiif_seq))))
     for flag in ("is_discoverable", "is_hidden", "is_published", "is_top_level"):
         if flag in cols:
             static.append((flag, F.col(flag)))

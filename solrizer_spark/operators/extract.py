@@ -227,6 +227,20 @@ def main_text(blocks: Column) -> Column:
     return F.array_join(F.transform(ordered, lambda b: b["text"]), "\n")
 
 
+def page_labels(pages: Column, title_field: str = "title") -> Column:
+    """Ordered page labels (PageSequence.labels, page_sequence.py:67-71):
+    each page's title, or the positional ``[Page N]`` placeholder
+    (N 1-based by sequence position) when untitled. ``pages`` must
+    already be in sequence order."""
+    return F.transform(
+        pages,
+        lambda p, i: F.coalesce(
+            p[title_field],
+            F.concat(F.lit("[Page "), (i + 1).cast("string"), F.lit("]")),
+        ),
+    )
+
+
 def extract_stage(
     df: DataFrame,
     dpi: tuple[int, int] = (400, 400),

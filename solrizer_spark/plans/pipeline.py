@@ -102,57 +102,136 @@ def _domain_faceter(df: DataFrame):
     return registered_domain("url")
 
 
+def _require(df: DataFrame, col: str, faceter: str) -> None:
+    if col not in df.columns:
+        raise ValueError(
+            f"faceter {faceter!r} requires column {col!r} "
+            f"(available: {sorted(df.columns)})"
+        )
+
+
+def _censorship_faceter(df: DataFrame):
+    # CensorshipFacet analog (faceters.py:157-182): substring gate +
+    # Yes/No marker over the description (fallback: extracted text)
+    from solrizer_spark.functions.faceters import substring_test_facet
+
+    src = "description" if "description" in df.columns else "extracted_text"
+    _require(df, src, "censorship")
+    return substring_test_facet(src, "Censorship Information", "CCD Action: Yes")
+
+
+def _resource_type_faceter(df: DataFrame):
+    # ResourceTypeFacet Poster arm (faceters.py:366): genre term up to
+    # the first comma of the format value
+    from solrizer_spark.functions.faceters import split_at_comma
+
+    _require(df, "format", "resource_type")
+    return split_at_comma("format")
+
+
+def _publication_status_faceter(df: DataFrame):
+    # PublicationStatusFacet (faceters.py:300-312)
+    from solrizer_spark.functions.faceters import membership_flag_facet
+
+    _require(df, "rdf_types", "publication_status")
+    return membership_flag_facet("rdf_types", "umdaccess:Published", "Published", "Unpublished")
+
+
+def _visibility_faceter(df: DataFrame):
+    # VisibilityFacet (faceters.py:412-424)
+    from solrizer_spark.functions.faceters import membership_flag_facet
+
+    _require(df, "rdf_types", "visibility")
+    return membership_flag_facet("rdf_types", "umdaccess:Hidden", "Hidden", "Visible")
+
+
+def _rdf_type_faceter(df: DataFrame):
+    # RDFTypeFacet (faceters.py:334-343): a facet whose values are a
+    # PRIOR chain stage's output field (the content_model indexer's
+    # curie list) — multivalued passthrough
+    _require(df, "object__rdf_type__curies", "rdf_type")
+    return F.col("object__rdf_type__curies")
+
+
+def _rights_faceter(df: DataFrame) -> DataFrame:
+    # RightsFacet / rights_statement_label (faceters.py:61-73,373-390):
+    # broadcast vocab join, URI fallback — a DataFrame transform, not a
+    # Column (the one faceter shape that needs a join)
+    from solrizer_spark.functions.faceters import vocab_label_join
+
+    _require(df, "rights__uri", "rights")
+    return vocab_label_join(df, "rights__uri", "rights__facet")
+
+
+#: Faceters are either ``df -> Column`` (the facet value; appended as
+#: ``{name}__facet``) or ``df -> DataFrame`` (join-shaped faceters that
+#: add their own ``{name}__facet`` column). Select per chain with
+#: ``conf['faceters']``.
 FACETERS: dict[str, Callable[[DataFrame], "object"]] = {
     "language": lambda df: language_name_col("lang"),
     "ocr": _ocr_faceter,
     "domain": _domain_faceter,
+    "censorship": _censorship_faceter,
+    "resource_type": _resource_type_faceter,
+    "publication_status": _publication_status_faceter,
+    "visibility": _visibility_faceter,
+    "rdf_type": _rdf_type_faceter,
+    "rights": _rights_faceter,
 }
+
+#: faceters every default chain runs (the rest need columns the crawl
+#: corpus only has when upstream stages/sources provide them)
+DEFAULT_FACETERS = ["language", "ocr", "domain"]
 
 
 def stage_facets(df: DataFrame, conf: dict) -> DataFrame:
     """Facet columns (facets.py:38-49 chain; LanguageFacet
-    faceters.py:220-237 via language_name). Null lang ⇒ facet omitted
-    (facets.py:44-47)."""
-    for name, builder in FACETERS.items():
-        df = df.withColumn(f"{name}__facet", builder(df))
+    faceters.py:220-237 via language_name). Null facet values ⇒ facet
+    omitted from the doc (facets.py:44-47). ``conf['faceters']``
+    selects registered faceters per chain (the reference selects
+    faceter classes per content model via entry points,
+    pyproject.toml:66-82); unknown names fail fast."""
+    names = conf.get("faceters", DEFAULT_FACETERS)
+    unknown = [n for n in names if n not in FACETERS]
+    if unknown:
+        raise ValueError(f"unknown faceter(s): {unknown}; available: {sorted(FACETERS)}")
+    for name in names:
+        res = FACETERS[name](df)
+        df = res if isinstance(res, DataFrame) else df.withColumn(f"{name}__facet", res)
     return df.withColumn("lang_suffix", language_suffix_col("lang"))
 
 
 #: default aggregate-field settings — the indexer-settings.yml analog
-#: (indexer-settings.yml:7-26): each output field lists column paths
-#: whose non-null values are concatenated. ``?``-suffixed paths are
-#: optional (skipped when the column is absent), mirroring jq's
-#: ``.foo?``; the reference's recursive-descent programs
-#: (``..|objects|.x``) expand at plan time because our schema is
-#: static.
+#: (indexer-settings.yml:7-26): each output field lists jq programs
+#: (the subset in plans/jq_fields.py: ``.foo``/``.foo?``, ``.foo[]?``,
+#: and recursive-descent ``..|objects|.foo``) whose non-null results
+#: are concatenated in order.
 DEFAULT_AGGREGATE_FIELDS: dict[str, list[str]] = {
-    "agg_text": ["title?", "extracted_text"],
-    "agg_identifier": ["id", "described_by__uri?"],
+    "agg_text": [".title?", ".extracted_text", "..|objects|.page__text__txt"],
+    "agg_identifier": [".id", ".described_by__uri?"],
 }
 
 
 def stage_aggregate_fields(df: DataFrame, conf: dict) -> DataFrame:
     """Omnibus multivalued fields (aggregate_fields.py:22-44 +
     indexer-settings.yml:7-26). The reference compiles jq programs and
-    concatenates their non-null results; here the configured column
-    paths resolve at plan time and ``array_compact`` is the non-null
-    filter (aggregate_fields.py:42). Configure via
+    extends each field with their non-null results; here the programs
+    expand at PLAN time over the static schema (plans/jq_fields.py:
+    recursive descent into child docs included) and ``array_compact``
+    is the non-null filter (aggregate_fields.py:42). Configure via
     ``conf['aggregate_fields']``. Column names carry an ``agg_``
     prefix (the input table owns ``text``); doc JSON keys drop it."""
+    from solrizer_spark.plans.jq_fields import compile_path
+
     settings = conf.get("aggregate_fields", DEFAULT_AGGREGATE_FIELDS)
     for out_field, paths in settings.items():
-        cols = []
-        for p in paths:
-            optional = p.endswith("?")
-            name = p.rstrip("?")
-            if name in df.columns:
-                cols.append(F.col(name))
-            elif not optional:
-                raise ValueError(
-                    f"aggregate field {out_field!r} requires column {name!r} "
-                    f"(available: {sorted(df.columns)})"
-                )
-        value = F.array_compact(F.array(*cols)) if cols else F.array().cast("array<string>")
+        pieces = [c for p in paths if (c := compile_path(df, p)) is not None]
+        if not pieces:
+            value = F.array().cast("array<string>")
+        else:
+            value = F.array_compact(
+                pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+            )
         df = df.withColumn(out_field, value)
     return df
 
@@ -177,15 +256,73 @@ def stage_child_docs(df: DataFrame, conf: dict) -> DataFrame:
     kept = F.filter(F.col("blocks"), lambda b: b["kept"])
     child = F.transform(
         kept,
-        lambda b: F.struct(
+        # two-param lambda: (element, 0-based position in the kept
+        # sequence) — position, not block_index, numbers the label,
+        # matching PageSequence.labels' enumerate(pages, 1)
+        lambda b, i: F.struct(
             F.concat(F.col("url"), F.lit("#block-"), b["block_index"].cast("string")).alias("id"),
             F.col("url").alias("_root_"),
             b["block_index"].alias("page_index__int"),
+            # label fallback (page_sequence.py:67-71): DOM blocks carry
+            # no title, so every child doc takes the positional
+            # placeholder (the title-present arm of the coalesce is
+            # exercised by operators.page_labels over titled pages)
+            F.concat(F.lit("[Page "), (i + 1).cast("string"), F.lit("]")).alias("page__label__txt"),
             b["text"].alias("page__text__txt"),
             b["tag_path"].alias("page__tag_path__str"),
         ),
     )
     return df.withColumn("pages", child)
+
+
+def stage_iiif_links(df: DataFrame, conf: dict) -> DataFrame:
+    """IIIF manifest + per-page thumbnail links (iiif_links_fields,
+    iiif_links.py:46-68): manifest id from the resource path, manifest
+    and thumbnail URIs by URITemplate ``{+id}`` expansion, thumbnail
+    ids by the best-image preference cascade over each page's files
+    with the ``static:unavailable`` fallback (iiif_links.py:134-149).
+
+    Config: ``iiif_identifier_prefix``, ``iiif_manifests_url_pattern``,
+    ``iiif_thumbnail_url_pattern`` (the reference's three required
+    keys), plus ``iiif_page_files_field`` naming the files array inside
+    each ``pages`` element (our block child docs carry no files — every
+    page then falls back to ``static:unavailable``)."""
+    from pyspark.sql import types as T
+
+    from solrizer_spark.functions.uris import (
+        expand_uri_template,
+        iiif_identifier,
+        thumbnail_identifier,
+    )
+
+    prefix = conf.get("iiif_identifier_prefix", "fcrepo:")
+    man_tpl = conf.get("iiif_manifests_url_pattern", "https://iiif.example.edu/manifests/{+id}")
+    thumb_tpl = conf.get("iiif_thumbnail_url_pattern", "https://iiif.example.edu/thumbnails/{+id}")
+    files_field = conf.get("iiif_page_files_field", "page__has_file")
+
+    ident = iiif_identifier(F.parse_url(F.col("url"), F.lit("PATH")), prefix)
+    df = df.withColumn("iiif_manifest__id", ident).withColumn(
+        "iiif_manifest__uri", expand_uri_template(man_tpl, F.col("iiif_manifest__id"))
+    )
+    if "pages" in df.columns:
+        page_type = df.schema["pages"].dataType
+        has_files = isinstance(page_type, T.ArrayType) and any(
+            f.name == files_field for f in page_type.elementType.fields
+        )
+        if has_files:
+            thumb_ids = F.transform(
+                F.col("pages"), lambda p: thumbnail_identifier(p[files_field], prefix)
+            )
+        else:
+            thumb_ids = F.transform(F.col("pages"), lambda p: F.lit("static:unavailable"))
+        df = df.withColumn("iiif_thumbnail_sequence__ids", thumb_ids).withColumn(
+            "iiif_thumbnail_sequence__uris",
+            F.transform(
+                F.col("iiif_thumbnail_sequence__ids"),
+                lambda i: expand_uri_template(thumb_tpl, i),
+            ),
+        )
+    return df
 
 
 STAGES: dict[str, Stage] = {
@@ -196,6 +333,7 @@ STAGES: dict[str, Stage] = {
     "facets": stage_facets,
     "aggregate_fields": stage_aggregate_fields,
     "child_docs": stage_child_docs,
+    "iiif_links": stage_iiif_links,
     "doc": stage_doc,
 }
 

@@ -76,7 +76,12 @@ def test_pluggable_faceter_registry(spark, corpus_dir):
     )
     try:
         pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
-        out = run_chain(pages)
+        # registered faceters are selected per chain via conf (the
+        # solrizer_faceters entry points register classes; the per-model
+        # config picks which run)
+        out = run_chain(
+            pages, conf={"faceters": ["language", "ocr", "domain", "decade"]}
+        )
         row = out.select("language__facet", "decade__facet").first()
         assert row["decade__facet"].endswith("0s")
     finally:

