@@ -117,13 +117,21 @@ def main() -> None:
         "page_sequence",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
         "embedding_near_dup",
         "ann_bruteforce",
         "text_stats",
         "lang_facet_counts",
     ]:
         df = qs[name](spark, sf_dir)
-        timed(name, lambda d=df: d.agg(F.count(F.lit(1))).collect())
+        # best-of-2: one timing per query is at the mercy of this VM's
+        # bursty CPU (identical runs vary several-fold)
+        runs = []
+        for i in range(2):
+            timed(f"_{name}_{i}", lambda d=df: d.agg(F.count(F.lit(1))).collect())
+            runs.append(timings.pop(f"_{name}_{i}"))
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["extract_pipeline_steady"], 1)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from solrizer_spark.operators.manifests import (
-    build_manifest,
+    manifest_from_metrics,
     completed_buckets,
     corpus_fingerprint,
     filter_completed,
@@ -173,12 +173,18 @@ def run_job(
     written = spark.read.parquet(docs_path)
     if done:
         written = written.where(~F.col("partition_key").isin(done))
+    # ONE verification scan of the durable sink feeds both side tables:
+    # metrics first, then the completion manifest derived from the same
+    # aggregation (manifest-last ordering preserved — a crash between
+    # the writes leaves the bucket unmarked and it is recomputed)
+    metrics = build_metrics(written, run_id).persist()
+    write_table(metrics, metrics_path, mode="append")
     write_table(
-        build_manifest(written, run_id, n_buckets, salt, corpus_fp),
+        manifest_from_metrics(metrics, run_id, n_buckets, salt, corpus_fp),
         manifest_path,
         mode="append",
     )
-    write_table(build_metrics(written, run_id), metrics_path, mode="append")
+    metrics.unpersist()
 
     counters = dict(obs.get) if obs.get else {}
     n_docs = int(counters.get("n_docs") or 0)

@@ -79,6 +79,28 @@ def build_manifest(
     )
 
 
+def manifest_from_metrics(
+    metrics: DataFrame, run_id: str, n_buckets: int, salt: int, corpus_fp: str = ""
+) -> DataFrame:
+    """Completion rows derived from an already-computed per-bucket
+    metrics aggregation (operators.metrics.build_metrics) — so the
+    post-write verification pass scans the durable sink ONCE for both
+    side tables instead of twice."""
+    return (
+        metrics.select(
+            "partition_key",
+            F.col("n_docs"),
+            F.col("parse_failures").alias("n_failed"),
+        )
+        .withColumn("status", F.lit("complete"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("n_buckets", F.lit(n_buckets))
+        .withColumn("salt", F.lit(salt))
+        .withColumn("corpus_fp", F.lit(corpus_fp))
+        .select([f.name for f in MANIFEST_SCHEMA.fields])
+    )
+
+
 def completed_buckets(
     spark: SparkSession,
     manifest_path: str,
