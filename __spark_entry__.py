@@ -376,6 +376,87 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any verbatim 8-gram with
+    a (broadcast) benchmark set are flagged. The benchmark is a
+    deterministic excerpt (tokens 3-14) of every 50th doc, so those
+    docs must flag as contaminated and carry ≥1 matched gram."""
+    from solrizer_spark.operators.decontam import flag_contaminated
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(toks, 3, 12), " ").alias("text")
+    )
+    out = flag_contaminated(docs, benchmark, n=8)
+    return out.select("doc_id", "n_matched", "contaminated")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/IPv4/phone numbers injected
+    deterministically into 3 of every 4 docs are counted and redacted;
+    the 4th stays clean (counts 0, text unchanged)."""
+    from solrizer_spark.functions.scrub import pii_counts, scrub_pii
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), k.cast("string"),
+        F.lit("@ex"), (k % 9).cast("string"), F.lit(".com at 10.0."),
+        (k % 256).cast("string"), F.lit("."), (k % 100).cast("string"),
+        F.lit(" or 555-"), F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((k * 7 % 10000).cast("string"), 4, "0"), F.lit(" now"),
+    )
+    base = docs.withColumn(
+        "text", F.when(k % 4 == 3, F.col("text")).otherwise(injected)
+    )
+    c = pii_counts("text")
+    return base.select(
+        "doc_id",
+        scrub_pii("text").alias("scrubbed"),
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-char normalization over deterministically
+    mangled text (tabs, doubled spaces, control chars, padding)."""
+    from solrizer_spark.functions.scrub import normalize_text
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = F.concat(
+        F.lit("  \t"),
+        F.replace(
+            F.col("text"), F.lit(" "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("  ")).otherwise(F.lit("\t")),
+        ),
+        F.lit(" trailing   "),
+    )
+    return docs.select("doc_id", normalize_text(mangled).alias("normalized"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a near-dup pair list (transitive
+    closure → one cluster id per doc; min-label propagation). The
+    synthesized edge set includes 5-node CHAINS (diameter 4), so the
+    result is only right if labels propagate multiple rounds — plus
+    disjoint 2-node components."""
+    from solrizer_spark.operators.dedup import connected_components
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.where(F.col("doc_id") % 16 < 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    pair2 = docs.where((F.col("doc_id") % 16).isin(8, 9)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2).alias("id_b")
+    )
+    pairs = chain.unionByName(pair2)
+    return connected_components(pairs)
+
+
 _QUERY_VEC = [((d % 7) - 3) / 3.0 for d in range(64)]
 
 
@@ -798,6 +879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "text_normalize": q_text_normalize,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dup": q_embedding_near_dup,
@@ -960,6 +1045,30 @@ def _ivf_oracle_sql() -> str:
     )
 
 
+def _pii_scrub_sql() -> str:
+    """Exact-parity PII oracle: same injection, same regexes (the
+    pattern subset evaluates identically under Java regex and RE2)."""
+    from solrizer_spark.functions.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    inject = (
+        "text || ' Contact user' || doc_id || '@ex' || (doc_id%9) || '.com at 10.0.' "
+        "|| (doc_id%256) || '.' || (doc_id%100) || ' or 555-' "
+        "|| lpad(CAST(doc_id%1000 AS VARCHAR),3,'0') || '-' "
+        "|| lpad(CAST(doc_id*7%10000 AS VARCHAR),4,'0') || ' now'"
+    )
+    return (
+        "WITH b AS (SELECT doc_id, CASE WHEN doc_id%4=3 THEN text "
+        f"ELSE {inject} END AS t FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'), "
+        f"'{IPV4_RE}', '[IP]', 'g'), '{PHONE_RE}', '[PHONE]', 'g') AS scrubbed, "
+        f"len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails, "
+        f"len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips, "
+        f"len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones "
+        "FROM b"
+    )
+
+
 def _facet_vocab_join_sql() -> str:
     """Facet-count oracle built from the same RIGHTS_VOCAB dim the
     Spark faceter broadcasts (label when known, URI fallback)."""
@@ -1101,6 +1210,39 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(len(list_intersect(o.s,c.s)) AS DOUBLE)"
             "/len(list_distinct(list_cat(o.s,c.s))), 6) AS jaccard_sim "
             "FROM sh o JOIN sh c ON c.doc_id = o.doc_id + 100000"
+        ),
+        "pii_scrub": _pii_scrub_sql(),
+        "text_normalize": (
+            "SELECT doc_id, text || ' trailing' AS normalized FROM documents"
+        ),
+        "decontaminate": (
+            "WITH t AS (SELECT doc_id, str_split(text,' ') AS tk FROM documents), "
+            "bt AS (SELECT str_split(array_to_string(list_slice(tk,3,14),' '),' ') AS tk "
+            "FROM t WHERE doc_id%50=0), "
+            "bg AS (SELECT DISTINCT unnest(CASE WHEN len(tk)-7 <= 0 "
+            "THEN [array_to_string(tk,' ')] "
+            "ELSE list_distinct(list_transform(generate_series(1,len(tk)-7), "
+            "i -> array_to_string(list_slice(tk,i,i+7),' '))) END) AS g FROM bt), "
+            "bga AS (SELECT list(g) AS gs FROM bg), "
+            "dg AS (SELECT doc_id, CASE WHEN len(tk)-7 <= 0 "
+            "THEN [array_to_string(tk,' ')] "
+            "ELSE list_distinct(list_transform(generate_series(1,len(tk)-7), "
+            "i -> array_to_string(list_slice(tk,i,i+7),' '))) END AS grams FROM t) "
+            "SELECT doc_id, CAST(len(list_intersect(grams, gs)) AS BIGINT) AS n_matched, "
+            "len(list_intersect(grams, gs)) > 0 AS contaminated FROM dg, bga"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE e AS ("
+            "SELECT doc_id AS a, doc_id+1 AS b FROM documents WHERE doc_id%16 < 4 "
+            "UNION ALL "
+            "SELECT doc_id, doc_id+2 FROM documents WHERE doc_id%16 IN (8,9)), "
+            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "nodes AS (SELECT DISTINCT a AS id FROM sym), "
+            "reach(id, r) AS ("
+            "SELECT id, id FROM nodes "
+            "UNION "
+            "SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id) "
+            "SELECT id, min(r) AS component FROM reach GROUP BY id"
         ),
         "dedup_simhash": _simhash32_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),

@@ -13,6 +13,9 @@ corpus-scale operators a 10^12-document extraction pipeline feeds:
                              SQL oracle can reproduce it bit-for-bit)
 * :func:`ngram_jaccard`      exact shingle-set Jaccard between two
                              text columns
+* :func:`connected_components`  pairs → transitive-closure cluster ids
+                             (min-label propagation)
+* :func:`dedup_keep_canonical`  drop all but each cluster's min-id doc
 
 Scale design: everything before the single candidate-pair shuffle is
 map-side Column expressions (shingling, hashing, signatures, banding).
@@ -326,3 +329,78 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step
+    a real dedup pipeline runs AFTER pair generation: transitive
+    closure groups pairs into clusters so one canonical doc per
+    cluster survives. Returns ``(id, component)`` for every id that
+    appears in ``pairs``, where ``component`` is the minimum id
+    reachable (deterministic regardless of iteration order).
+
+    Algorithm: min-label propagation. Labels start as own id; each
+    round every node takes the min of its label and its neighbors'
+    labels; converges in O(diameter) rounds (LSH dup clusters are
+    near-cliques, so typically 1-3). Each round is one shuffle
+    (aggregate min over edges) + one join; ``localCheckpoint``
+    truncates the growing lineage. Convergence is detected by the
+    monotonically decreasing ``sum(component)`` — one cheap scalar
+    action per round, no full-table compare. At 10^12-edge scale swap
+    the loop body for the large-star/small-star variant (same driver
+    skeleton, fewer rounds); the per-round plan here is already the
+    shuffle-minimal form.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nb_min"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every near-duplicate except each cluster's canonical
+    (minimum-id) member: left-anti join the corpus against the
+    non-canonical ids. Docs in no cluster pass through untouched."""
+    losers = components.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -71,3 +71,108 @@ def stream_extract(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_extract_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 256,
+    salt: int = 0,
+    dedup_delay: str = "24 hours",
+    chain: list[str] | None = None,
+    await_termination: bool = True,
+):
+    """Incremental pass with STATEFUL cross-batch URL dedup: a page
+    whose url was already processed within the watermark window is
+    dropped BEFORE extraction (recrawls are the common stream dup — at
+    scale the win is the skipped pandas-UDF work, not the skipped
+    write). ``dropDuplicatesWithinWatermark`` keys the state store by
+    url and the event-time watermark bounds state size — the
+    scale-safe form of streaming dedup (plain ``dropDuplicates`` keeps
+    every key forever). State lives in the checkpoint, so dedup holds
+    ACROSS AvailableNow invocations, not just within one micro-batch.
+    """
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    deduped = pages.withWatermark("warc_ts", dedup_delay).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    pipeline = build_pipeline(chain or DEFAULT_CHAIN)
+    docs = (
+        pipeline(deduped)
+        .withColumn("partition_key", url_bucket("url", n_buckets, salt))
+        .select(*STREAM_DOC_COLUMNS)
+    )
+    query = (
+        docs.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def stream_domain_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the brief's escape hatch for semantics the built-ins can't
+    express): a per-domain cumulative document counter that survives
+    micro-batches and AvailableNow restarts through the checkpointed
+    state store. Emits ``(domain, batch_docs, total_docs)`` per updated
+    domain per batch; the Update-mode rows land via ``foreachBatch`` →
+    parquet append (the memory sink cannot recover from a checkpoint;
+    production would use Kafka/Delta). Latest total per domain =
+    ``max(total_docs)``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from solrizer_spark.functions.urls import registered_domain
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    domains = pages.select(registered_domain("url").alias("domain"))
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        batch = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {"domain": [key[0]], "batch_docs": [batch], "total_docs": [total]}
+        )
+
+    counts = domains.groupBy("domain").applyInPandasWithState(
+        update_counts,
+        outputStructType="domain string, batch_docs long, total_docs long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(output_path)
+
+    query = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -126,3 +126,84 @@ def test_configurable_aggregate_fields(spark, corpus_dir):
     with _pytest.raises(ValueError, match="requires column"):
         run_chain(pages, ["extract", "aggregate_fields"],
                   {"aggregate_fields": {"agg_x": ["nope"]}})
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Stateful url dedup must hold ACROSS AvailableNow invocations:
+    a recrawled url arriving in a later batch is dropped via the
+    checkpointed state store (within the watermark window)."""
+    import tempfile
+
+    from solrizer_spark.corpus.generator import write_corpus
+    from solrizer_spark.streaming.incremental import stream_extract_dedup
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    first = tempfile.mkdtemp()
+    write_corpus(first, n_pages=50, seed=42)
+    os.rename(os.path.join(first, "pages", "part-00000.parquet"),
+              os.path.join(src, "a.parquet"))
+    stream_extract_dedup(spark, src, out, ckpt, n_buckets=8)
+    assert spark.read.parquet(out).count() == 50
+
+    # second arrival: the SAME 50 pages (recrawl) + 30 new ones
+    second = tempfile.mkdtemp()
+    write_corpus(second, n_pages=50, seed=42)  # identical urls
+    os.rename(os.path.join(second, "pages", "part-00000.parquet"),
+              os.path.join(src, "b.parquet"))
+    third = tempfile.mkdtemp()
+    write_corpus(third, n_pages=30, seed=9)
+    os.rename(os.path.join(third, "pages", "part-00000.parquet"),
+              os.path.join(src, "c.parquet"))
+
+    stream_extract_dedup(spark, src, out, ckpt, n_buckets=8)
+    docs = spark.read.parquet(out)
+    # expected = distinct urls across all arrivals (seed corpora can
+    # genuinely share a url — the dedup must collapse those too)
+    expected = spark.read.parquet(src).select("url").distinct().count()
+    assert expected < 130  # sanity: the 50 recrawls really are dups
+    assert docs.count() == expected
+    assert docs.select("url").distinct().count() == expected
+
+
+def test_stream_stateful_domain_counts(spark, tmp_path):
+    """applyInPandasWithState cumulative counter: totals accumulate
+    across two AvailableNow runs through the checkpointed state."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.corpus.generator import write_corpus
+    from solrizer_spark.streaming.incremental import stream_domain_counts
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def totals():
+        return {
+            r.domain: r.t
+            for r in spark.read.parquet(out)
+            .groupBy("domain").agg(F.max("total_docs").alias("t")).collect()
+        }
+
+    first = tempfile.mkdtemp()
+    write_corpus(first, n_pages=40, seed=42)
+    os.rename(os.path.join(first, "pages", "part-00000.parquet"),
+              os.path.join(src, "a.parquet"))
+    stream_domain_counts(spark, src, out, ckpt)
+    t1 = totals()
+    assert sum(t1.values()) == 40
+
+    second = tempfile.mkdtemp()
+    write_corpus(second, n_pages=40, seed=42)  # same domains again
+    os.rename(os.path.join(second, "pages", "part-00000.parquet"),
+              os.path.join(src, "b.parquet"))
+    stream_domain_counts(spark, src, out, ckpt)
+    t2 = totals()
+    # cumulative: every domain's total doubled via checkpointed state
+    assert t2 == {d: 2 * n for d, n in t1.items()}

@@ -297,3 +297,69 @@ def test_simhash_bucket_cap_pre_aggregation(spark):
     ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
     assert ids == set(range(cap))
     assert all(r.hamming == 0 for r in pairs)
+
+
+def test_connected_components_chains_and_keep_canonical(spark):
+    """Label propagation must cross multi-hop chains (diameter > 1),
+    and dedup_keep_canonical keeps exactly one doc per cluster."""
+    from solrizer_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), pair {10,11}, singleton 20 (no edges)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 4, 5, 10, 11, 20]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keep_canonical(docs, connected_components(pairs)).collect()
+    )
+    assert kept == [1, 10, 20]  # one per cluster + untouched singleton
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from solrizer_spark.operators.decontam import flag_contaminated
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated words with no benchmark overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("beta gamma delta epsilon zeta eta theta iota",)], "text string"
+    )
+    out = {r.doc_id: (r.n_matched, r.contaminated) for r in
+           flag_contaminated(docs, bench, n=8).collect()}
+    assert out[1] == (1, True)   # the 8-gram appears verbatim
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_scrub_pii_and_normalize(spark):
+    from solrizer_spark.functions.scrub import normalize_text, pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@sub.example.co.uk ip 192.168.0.1 tel 555-123-4567 end",),
+         ("no pii here",)],
+        "text string",
+    )
+    rows = df.select(
+        scrub_pii("text").alias("s"), pii_counts("text").alias("c")
+    ).collect()
+    assert rows[0].s == "mail [EMAIL] ip [IP] tel [PHONE] end"
+    assert (rows[0].c.n_emails, rows[0].c.n_ips, rows[0].c.n_phones) == (1, 1, 1)
+    assert rows[1].s == "no pii here"
+    assert (rows[1].c.n_emails, rows[1].c.n_ips, rows[1].c.n_phones) == (0, 0, 0)
+
+    ndf = spark.createDataFrame([("  a\t\tb \x01 c  \n",)], "text string")
+    assert ndf.select(normalize_text("text").alias("n")).first().n == "a b c"
