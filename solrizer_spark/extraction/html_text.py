@@ -110,6 +110,9 @@ class _Extractor(HTMLParser):
     # -- block bookkeeping -------------------------------------------------
 
     def _flush_block(self) -> None:
+        if not self._buf:  # hot path: most block-tag boundaries carry no text
+            self._buf_link_chars = 0
+            return
         text = "".join(self._buf)
         link_chars = self._buf_link_chars
         self._buf = []
