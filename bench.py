@@ -119,17 +119,23 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_simhash_pairs",
+        "dedup_clusters",
+        "decontaminate",
         "embedding_near_dup",
         "ann_bruteforce",
         "text_stats",
         "lang_facet_counts",
     ]:
-        df = qs[name](spark, sf_dir)
-        # best-of-2: one timing per query is at the mercy of this VM's
-        # bursty CPU (identical runs vary several-fold)
+        # rebuild per run: iterative queries (dedup_clusters) do real
+        # work at build time, so timing only the final action would
+        # under-count them. best-of-2 because this VM's bursty CPU makes
+        # single timings vary several-fold.
         runs = []
         for i in range(2):
-            timed(f"_{name}_{i}", lambda d=df: d.agg(F.count(F.lit(1))).collect())
+            timed(
+                f"_{name}_{i}",
+                lambda q=qs[name]: q(spark, sf_dir).agg(F.count(F.lit(1))).collect(),
+            )
             runs.append(timings.pop(f"_{name}_{i}"))
         timings[name] = min(runs)
 

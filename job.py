@@ -152,6 +152,27 @@ def run_job(
             .drop("_rn")
         )
 
+    if dedup == "near":
+        # post-extraction NEAR-dup removal: MinHash+LSH pairs over the
+        # extracted text → connected components → keep each cluster's
+        # canonical (minimum-url) member. The pair/cluster work runs on
+        # (url, extracted_text) only — column-pruned off the wide doc
+        # rows — then a left-anti join drops the losers.
+        from solrizer_spark.operators.dedup import (
+            connected_components,
+            dedup_keep_canonical,
+            minhash_lsh_pairs,
+        )
+
+        text_side = docs.where(F.col("extracted_text").isNotNull()).select(
+            "url", "extracted_text"
+        )
+        pairs = minhash_lsh_pairs(
+            text_side, id_col="url", text_col="extracted_text", threshold=0.8
+        )
+        comps = connected_components(pairs)
+        docs = dedup_keep_canonical(docs, comps, id_col="url")
+
     docs, obs = attach_observation(docs)
     t0 = time.monotonic()
     if not resume:
@@ -208,9 +229,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument(
-        "--dedup", choices=["url", "exact"], default=None,
+        "--dedup", choices=["url", "exact", "near"], default=None,
         help="url: keep earliest crawl per canonical url (pre-extraction); "
-        "exact: keep one doc per identical extracted_text (post-extraction)",
+        "exact: keep one doc per identical extracted_text (post-extraction); "
+        "near: MinHash+LSH pairs -> connected components -> keep one doc "
+        "per near-duplicate cluster (post-extraction)",
     )
     ap.add_argument(
         "--chains", default=None,

@@ -45,7 +45,10 @@ def cap_bucket_rows(df: DataFrame, keys: list[Column], order: list[Column], max_
     (spill-to-disk) sort, so the aggregation only ever sees
     ``max_bucket`` rows per key. The downstream groupBy shares the
     window's hash partitioning, so the cap adds a sort but no extra
-    shuffle."""
+    shuffle. (A two-phase variant — count buckets, broadcast-semi-join
+    the giant keys, window only those — was measured equal at bench
+    scale; it becomes preferable only when the banded row count is so
+    large that sorting all of it dominates the giant-bucket work.)"""
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_bucket_rn", F.row_number().over(w))
@@ -346,12 +349,13 @@ def connected_components(
 
     Algorithm: min-label propagation. Labels start as own id; each
     round every node takes the min of its label and its neighbors'
-    labels; converges in O(diameter) rounds (LSH dup clusters are
+    labels (ids may be any orderable type — numeric doc ids or
+    urls); converges in O(diameter) rounds (LSH dup clusters are
     near-cliques, so typically 1-3). Each round is one shuffle
     (aggregate min over edges) + one join; ``localCheckpoint``
-    truncates the growing lineage. Convergence is detected by the
-    monotonically decreasing ``sum(component)`` — one cheap scalar
-    action per round, no full-table compare. At 10^12-edge scale swap
+    truncates the growing lineage. Convergence is detected by a
+    label-hash checksum — one cheap scalar action per round, no
+    full-table compare. At 10^12-edge scale swap
     the loop body for the large-star/small-star variant (same driver
     skeleton, fewer rounds); the per-round plan here is already the
     shuffle-minimal form.
@@ -368,7 +372,15 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # convergence probe: sum of per-row label hashes — type-agnostic
+    # (ids may be urls), identical iff no label changed this round
+    # (hash-collision false-stop probability ~2^-64 per round)
+    def _probe(lb):
+        return lb.agg(
+            F.sum(F.xxhash64(F.col("component")).cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _probe(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -383,7 +395,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        new_sum = _probe(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -243,3 +243,49 @@ def test_partial_resume_processes_only_incomplete_buckets(spark, corpus_dir, tmp
     m2 = spark.read.parquet(out_part + "/manifests")
     assert m2.select("partition_key").distinct().count() == 16
     assert m2.count() == 16
+
+
+def test_job_near_dedup_mode(spark, tmp_path):
+    """--dedup near: pages whose extracted text is a near-duplicate
+    (one trailing word differs) collapse to one doc per cluster."""
+    import duckdb
+
+    from job import run_job
+
+    # 30 base pages + for every third page a near-dup copy at a
+    # different url (same body text with one word appended)
+    rows = []
+    for i in range(30):
+        # disjoint vocabularies per doc: only the injected copies are
+        # near-duplicates
+        body = " ".join(f"doc{i}word{j}" for j in range(40)) + f" tail{i}"
+        rows.append((f"https://nd.example.org/p/{i}", body))
+        if i % 3 == 0:
+            rows.append((f"https://nd.example.org/copy/{i}", body + " extra"))
+    import pandas as pd
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    pdf = pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pd.Timestamp("2024-01-01"),
+            "html": [
+                ("<html><body><p>" + r[1] + "</p></body></html>").encode()
+                for r in rows
+            ],
+            "text": None,
+            "lang": "en",
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src, mode="overwrite")
+
+    out = str(tmp_path / "out")
+    stats = run_job(spark, src, out, n_buckets=8, dedup="near")
+    assert stats["n_docs"] == 30  # the 10 near-dup copies collapsed
+    kept = duckdb.sql(f"SELECT url FROM '{out}/docs/**/*.parquet'").fetchall()
+    urls = {u for (u,) in kept}
+    assert len(urls) == 30
+    # canonical member (min url) survives: copy/ < p/ lexicographically
+    assert sum(1 for u in urls if "/copy/" in u) == 10
+    assert sum(1 for u in urls if "/p/" in u) == 20
