@@ -845,6 +845,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: top-3 docs per language by quality score (window
+    rank per group; deterministic doc_id tiebreak)."""
+    from solrizer_spark.functions.text_stats import quality_score
+    from solrizer_spark.operators.sampling import topk_per_group
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    )
+    out = topk_per_group(
+        docs, "lang", [F.col("quality").desc(), F.col("doc_id").asc()], k=3
+    )
+    return out.select("lang", "doc_id", "quality", "group_rank")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-language 4096-token training bins by
+    running token count in doc_id order."""
+    from solrizer_spark.functions.text_stats import token_count
+    from solrizer_spark.operators.sampling import pack_sequences
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    out = pack_sequences(
+        docs, "lang", [F.col("doc_id").asc()], "n_tokens", capacity=4096
+    )
+    return out.select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report: docs, token volume, mean quality,
     exact median length (percentile parity with quantile_cont)."""
@@ -904,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
+        "quality_topk": q_quality_topk,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1043,6 +1075,21 @@ def _ivf_oracle_sql() -> str:
         f"WHERE cell IN ({', '.join(str(p) for p in probe)}) "
         "ORDER BY cos_sim DESC, vec_id LIMIT 10"
     )
+
+
+#: DuckDB quality-score expression over (text, t=tokens, n=len(t)) —
+#: shared by the quality_score / corpus_stats / quality_topk oracles
+_QUALITY_EXPR = (
+    "round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)"
+    " + (CASE WHEN CAST(length(text) AS DOUBLE)/n >= 3.0 "
+    "        AND CAST(length(text) AS DOUBLE)/n <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    " + (CASE WHEN CAST(length(text) - length(regexp_replace(text,"
+    " '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)/length(text) <= 0.2"
+    "        THEN 1.0 ELSE 0.0 END)"
+    " + (CASE WHEN CAST(len(list_filter(t, x -> x IN "
+    "('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE)/n"
+    "        >= 0.01 THEN 1.0 ELSE 0.5 END)) / 4.0, 4)"
+)
 
 
 def _pii_scrub_sql() -> str:
@@ -1429,6 +1476,24 @@ def oracle_sql() -> dict[str, str]:
             "        >= 0.01 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS q "
             "FROM (SELECT lang, text, n_chars, str_split(text,' ') AS t,"
             " len(str_split(text,' ')) AS n FROM documents)) GROUP BY lang"
+        ),
+        "quality_topk": (
+            "SELECT lang, doc_id, q AS quality, rn AS group_rank FROM ("
+            "SELECT lang, doc_id, q, row_number() OVER ("
+            "PARTITION BY lang ORDER BY q DESC, doc_id) AS rn FROM ("
+            f"SELECT lang, doc_id, {_QUALITY_EXPR} AS q "
+            "FROM (SELECT lang, doc_id, text, str_split(text,' ') AS t,"
+            " len(str_split(text,' ')) AS n FROM documents))) WHERE rn <= 3"
+        ),
+        "pack_sequences": (
+            "SELECT doc_id, lang, n_tokens, "
+            "CAST(floor(prev/4096.0) AS BIGINT) AS bin_id, "
+            "CAST(prev % 4096 AS BIGINT) AS bin_offset FROM ("
+            "SELECT doc_id, lang, n_tokens, "
+            "coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev "
+            "FROM (SELECT doc_id, lang, len(str_split(text,' ')) AS n_tokens "
+            "FROM documents))"
         ),
         "token_counts": (
             "SELECT doc_id, "

@@ -51,3 +51,54 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * 100)))
         ).otherwise(rate)
     return df.where(hash_bucket_100(key_col, salt) < rate)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order: list[Column],
+    k: int,
+) -> DataFrame:
+    """Best-k rows per group (curation: "keep the k highest-quality
+    docs per language/domain"). A rank window per group — shuffles
+    once on the group key, per-partition external sort, no global
+    sort. ``order`` must be a total order (include a unique id as the
+    last key) for deterministic, rerun-stable output."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .withColumnRenamed("_rank", "group_rank")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order: list[Column],
+    token_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Streaming sequence packing: assign each doc to a training bin of
+    ~``capacity`` tokens, walking the group in ``order`` and cutting a
+    new bin whenever the running token total crosses a capacity
+    boundary — bin b holds the docs whose PRECEDING cumulative token
+    count lies in ``[b*capacity, (b+1)*capacity)``. Deterministic,
+    one window shuffle per group, and exactly reproducible in SQL
+    (``sum() OVER (... ROWS UNBOUNDED PRECEDING)``), unlike greedy
+    first-fit packers whose bins depend on partition boundaries.
+    Emits ``bin_id`` and ``bin_offset`` (token offset inside the bin's
+    preceding stream)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("bin_id", (preceding / capacity).cast("long")).withColumn(
+        "bin_offset", (preceding % capacity).cast("long")
+    )

@@ -363,3 +363,26 @@ def test_scrub_pii_and_normalize(spark):
 
     ndf = spark.createDataFrame([("  a\t\tb \x01 c  \n",)], "text string")
     assert ndf.select(normalize_text("text").alias("n")).first().n == "a b c"
+
+
+def test_topk_per_group_and_pack_sequences(spark):
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.operators.sampling import pack_sequences, topk_per_group
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 30), (3, "en", 20), (4, "de", 5), (5, "de", 7)],
+        "doc_id long, lang string, score long",
+    )
+    top = topk_per_group(df, "lang", [F.col("score").desc(), F.col("doc_id")], k=2)
+    got = {(r.lang, r.group_rank): r.doc_id for r in top.collect()}
+    assert got == {("en", 1): 2, ("en", 2): 3, ("de", 1): 5, ("de", 2): 4}
+
+    tok = spark.createDataFrame(
+        [(1, "en", 3000), (2, "en", 2000), (3, "en", 2000), (4, "en", 100)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    packed = {r.doc_id: (r.bin_id, r.bin_offset) for r in
+              pack_sequences(tok, "lang", [F.col("doc_id")], "n_tokens", 4096).collect()}
+    # preceding cumsums: 0, 3000, 5000, 7000 → bins 0,0,1,1
+    assert packed == {1: (0, 0), 2: (0, 3000), 3: (1, 904), 4: (1, 2904)}
