@@ -139,7 +139,16 @@ def main() -> None:
             runs.append(timings.pop(f"_{name}_{i}"))
         timings[name] = min(runs)
 
-    total = round(sum(timings.values()), 3)
+    # "value" sums the ROUND-1 query set so the headline stays
+    # comparable round-over-round; queries added later are timed in
+    # "queries" and summed in "value_all_queries"
+    r1_set = [
+        "extract_pipeline", "extract_pipeline_steady", "extract_large_pages",
+        "page_sequence", "dedup_exact", "dedup_minhash_lsh",
+        "embedding_near_dup", "ann_bruteforce", "text_stats",
+        "lang_facet_counts",
+    ]
+    total = round(sum(timings[k] for k in r1_set), 3)
     docs_per_sec = round(n_docs / timings["extract_pipeline_steady"], 1)
     print(
         json.dumps(
@@ -147,6 +156,7 @@ def main() -> None:
                 "metric": "headline wall time (extract pipeline + operator queries)",
                 "value": total,
                 "unit": "sec",
+                "value_all_queries": round(sum(timings.values()), 3),
                 "queries": timings,
                 "sf": sf_dir,
                 "n_docs_extracted": n_docs,

@@ -200,7 +200,9 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    banded = base.select("_id", "_sh", band_key.alias("bk"))
+    # only (_id, band-key) ride the banding/cap shuffle — the shingle
+    # array re-joins from the persisted base at verification time
+    banded = base.select("_id", band_key.alias("bk"))
 
     # cap BEFORE aggregating: the groupBy's collect_list then holds at
     # most max_bucket ids, so degenerate buckets can't OOM (the window

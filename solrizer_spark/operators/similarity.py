@@ -203,9 +203,12 @@ def embedding_near_dup_pairs(
         # feeds banding + both verification-join sides (see
         # dedup.minhash_lsh_pairs)
         base = base.persist()
+    # banding carries ONLY (_id, band-key): the vector must not ride
+    # through the cap window's shuffle+sort (verification re-joins it
+    # from the persisted base) — with it, 8 bands × every 64-float
+    # vector crosses the wire (measured ~2× on this query)
     banded = base.select(
         "_id",
-        "_v",
         F.explode(
             F.array(
                 *[
