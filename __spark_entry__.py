@@ -845,6 +845,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over deterministically mangled
+    docs: every third doc gets its first 'line' repeated (dup-line
+    fraction > 0) and every fifth gets a bigram loop appended (top
+    2-gram fraction inflated)."""
+    from solrizer_spark.functions.text_stats import (
+        dup_line_fraction,
+        top_ngram_fraction,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    first_line = F.array_join(F.slice(toks, 1, 5), " ")
+    lines = F.concat(
+        first_line, F.lit("\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(first_line, F.lit("\n"))).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    looped = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" loop beat loop beat loop beat loop beat")),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        dup_line_fraction(lines).alias("dup_line_frac"),
+        top_ngram_fraction(looped, 2).alias("top_bigram_frac"),
+    )
+
+
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation: top-3 docs per language by quality score (window
     rank per group; deterministic doc_id tiebreak)."""
@@ -935,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
+        "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
     }
 
@@ -1476,6 +1506,24 @@ def oracle_sql() -> dict[str, str]:
             "        >= 0.01 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS q "
             "FROM (SELECT lang, text, n_chars, str_split(text,' ') AS t,"
             " len(str_split(text,' ')) AS n FROM documents)) GROUP BY lang"
+        ),
+        "repetition_stats": (
+            "WITH b AS (SELECT doc_id, text, str_split(text,' ') AS t FROM documents), "
+            "m AS (SELECT doc_id, "
+            "CASE WHEN doc_id%3=0 THEN [f5, f5, text] ELSE [f5, text] END AS lines, "
+            "CASE WHEN doc_id%5=0 THEN text || ' loop beat loop beat loop beat loop beat' "
+            "ELSE text END AS lt "
+            "FROM (SELECT doc_id, text, array_to_string(list_slice(t,1,5),' ') AS f5 FROM b)), "
+            "tg AS (SELECT doc_id, g, count(*) AS c, any_value(n) AS n FROM ("
+            "SELECT doc_id, len(tt) AS n, "
+            "unnest(list_transform(generate_series(1, len(tt)-1), "
+            "i -> array_to_string(list_slice(tt,i,i+1),' '))) AS g "
+            "FROM (SELECT doc_id, str_split(lt,' ') AS tt FROM m)) GROUP BY doc_id, g), "
+            "tb AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)*2/any_value(n),6) AS tbf "
+            "FROM tg GROUP BY doc_id) "
+            "SELECT m.doc_id, "
+            "round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines), 6) AS dup_line_frac, "
+            "tb.tbf AS top_bigram_frac FROM m JOIN tb ON m.doc_id = tb.doc_id"
         ),
         "quality_topk": (
             "SELECT lang, doc_id, q AS quality, rn AS group_rank FROM ("

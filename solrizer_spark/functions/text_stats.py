@@ -144,3 +144,51 @@ def rolling_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
     )
+
+
+def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
+    """Gopher-style repetition signal: fraction of lines that are
+    repeats of an earlier line (0.0 when every line is unique).
+    Documents dominated by repeated lines (boilerplate listings,
+    scraper loops) are low-quality training text."""
+    col = F.col(text) if isinstance(text, str) else text
+    lines = F.split(col, sep)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / F.size(lines), 6
+    )
+
+
+def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of tokens covered
+    by the single most frequent word n-gram (``count(top gram) · n /
+    n_tokens``). Pure map-side expression: sort the gram array, then
+    one ``aggregate`` fold counts the longest equal-run — no
+    explode/groupBy, so it composes into per-doc quality filters at
+    scan time."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(col, " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    folded = F.aggregate(
+        F.array_sort(grams),
+        acc0,
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    return F.round(folded["best"].cast("double") * n / F.size(toks), 6)

@@ -386,3 +386,20 @@ def test_topk_per_group_and_pack_sequences(spark):
               pack_sequences(tok, "lang", [F.col("doc_id")], "n_tokens", 4096).collect()}
     # preceding cumsums: 0, 3000, 5000, 7000 → bins 0,0,1,1
     assert packed == {1: (0, 0), 2: (0, 3000), 3: (1, 904), 4: (1, 2904)}
+
+
+def test_repetition_signals(spark):
+    from solrizer_spark.functions.text_stats import dup_line_fraction, top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [("a b\na b\nc d", "x y x y x y z"), ("one\ntwo", "all distinct words here")],
+        "lines string, text string",
+    )
+    rows = df.select(
+        dup_line_fraction("lines").alias("dlf"),
+        top_ngram_fraction("text", 2).alias("tbf"),
+    ).collect()
+    assert abs(rows[0].dlf - (1 - 2 / 3)) < 1e-6   # 'a b' repeats
+    assert abs(rows[0].tbf - 3 * 2 / 7) < 1e-6     # 'x y' ×3 of 7 tokens
+    assert rows[1].dlf == 0.0
+    assert abs(rows[1].tbf - 2 / 4) < 1e-6         # every bigram unique
