@@ -814,6 +814,21 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering: synthesized urls over documents,
+    broadcast anti-join against a blocklist of every 7th domain."""
+    from solrizer_spark.functions.urls import filter_blocked_domains
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 50).cast("string")
+    url = F.concat(F.lit("https://www.example"), m, F.lit(".com/page/"), F.col("doc_id").cast("string"))
+    base = docs.withColumn("url", url)
+    block = spark.range(50).where(F.col("id") % 7 == 0).select(
+        F.concat(F.lit("example"), F.col("id").cast("string"), F.lit(".com")).alias("domain")
+    )
+    return filter_blocked_domains(base, block).select("doc_id", "url")
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints (k=8 char-grams, window=4)."""
     from solrizer_spark.functions.text_stats import winnow_fingerprints
@@ -958,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "atomic_diff": q_atomic_diff,
         "edtf_dates": q_edtf_dates,
         "url_normalize": q_url_normalize,
+        "blocklist_filter": q_blocklist_filter,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
@@ -1472,6 +1488,10 @@ def oracle_sql() -> dict[str, str]:
             " WHEN 3 THEN 'http://example'||(doc_id%50)||'.com'"
             " ELSE 'https://a.b.example'||(doc_id%50)||'.net/one/two/three?b=2&a=1'"
             " END AS url FROM documents)"
+        ),
+        "blocklist_filter": (
+            "SELECT doc_id, 'https://www.example' || (doc_id%50) || '.com/page/' || doc_id AS url "
+            "FROM documents WHERE (doc_id%50) % 7 != 0"
         ),
         "winnow_fingerprints": (
             "SELECT doc_id, len(fps) AS n_fps, fps[1] AS fp_min, fps[-1] AS fp_max "

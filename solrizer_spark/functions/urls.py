@@ -93,3 +93,20 @@ def normalize_url(url: Column | str) -> Column:
     # requires a scheme, so without this guard all such URLs collapse
     # to the single string ':///' and url-dedup would merge them
     return F.when(scheme == "", raw).otherwise(built)
+
+
+def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):
+    """Drop rows whose registered domain (eTLD+1) appears in a
+    blocklist table — the standard crawl-hygiene step (spam/adult/
+    malware domain lists). The blocklist side is small by definition →
+    broadcast LEFT ANTI join; the corpus side never shuffles.
+    ``blocklist_df`` must have a ``domain`` column."""
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumn("_domain", registered_domain(url_col))
+    out = tagged.join(
+        F.broadcast(blocklist_df.select(F.col("domain").alias("_domain"))),
+        "_domain",
+        "left_anti",
+    )
+    return out.drop("_domain")
