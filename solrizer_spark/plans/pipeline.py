@@ -163,10 +163,27 @@ def _rights_faceter(df: DataFrame) -> DataFrame:
     return vocab_label_join(df, "rights__uri", "rights__facet")
 
 
+def _admin_set_faceter(df: DataFrame, conf: dict) -> DataFrame:
+    # AdminSetFacet (faceters.py:119-132): follow member_of to the
+    # collection resource and facet on its title — a dim lookup, here a
+    # broadcast join against the (uri, title) collections dim supplied
+    # as conf['collection_titles'] (the repo-fetch becomes a dim table,
+    # like the rights vocab)
+    from solrizer_spark.functions.faceters import vocab_label_join
+
+    _require(df, "member_of__uri", "admin_set")
+    dim = conf.get("collection_titles")
+    if not dim:
+        raise ValueError("admin_set faceter requires conf['collection_titles'] "
+                         "(list of (uri, title) pairs)")
+    return vocab_label_join(df, "member_of__uri", "admin_set__facet", vocab=dim)
+
+
 #: Faceters are either ``df -> Column`` (the facet value; appended as
-#: ``{name}__facet``) or ``df -> DataFrame`` (join-shaped faceters that
-#: add their own ``{name}__facet`` column). Select per chain with
-#: ``conf['faceters']``.
+#: ``{name}__facet``), ``df -> DataFrame`` (join-shaped faceters that
+#: add their own ``{name}__facet`` column), or ``(df, conf) ->`` either
+#: shape (config-driven faceters, e.g. dim tables). Select per chain
+#: with ``conf['faceters']``.
 FACETERS: dict[str, Callable[[DataFrame], "object"]] = {
     "language": lambda df: language_name_col("lang"),
     "ocr": _ocr_faceter,
@@ -177,6 +194,7 @@ FACETERS: dict[str, Callable[[DataFrame], "object"]] = {
     "visibility": _visibility_faceter,
     "rdf_type": _rdf_type_faceter,
     "rights": _rights_faceter,
+    "admin_set": _admin_set_faceter,
 }
 
 #: faceters every default chain runs (the rest need columns the crawl
@@ -195,8 +213,12 @@ def stage_facets(df: DataFrame, conf: dict) -> DataFrame:
     unknown = [n for n in names if n not in FACETERS]
     if unknown:
         raise ValueError(f"unknown faceter(s): {unknown}; available: {sorted(FACETERS)}")
+    import inspect
+
     for name in names:
-        res = FACETERS[name](df)
+        builder = FACETERS[name]
+        n_params = len(inspect.signature(builder).parameters)
+        res = builder(df, conf) if n_params >= 2 else builder(df)
         df = res if isinstance(res, DataFrame) else df.withColumn(f"{name}__facet", res)
     return df.withColumn("lang_suffix", language_suffix_col("lang"))
 

@@ -251,3 +251,30 @@ def test_solr_timestamp_subsecond(spark):
     )
     got2 = [r.z for r in sdf.select(solr_timestamp_from_string("s").alias("z")).collect()]
     assert got2 == ["2024-03-01T12:00:05.250000Z", "2024-03-01T12:00:05Z"]
+
+
+def test_admin_set_faceter_dim_join(spark):
+    """AdminSetFacet analog: member_of → collection title via the
+    conf-supplied dim (faceters.py:119-132)."""
+    from solrizer_spark.plans.pipeline import run_chain
+
+    df = spark.createDataFrame(
+        [(1, "en", "https://repo/collections/c1"),
+         (2, "de", "https://repo/collections/unknown"),
+         (3, "en", None)],
+        "doc_id long, lang string, member_of__uri string",
+    )
+    out = run_chain(
+        df, ["facets"],
+        conf={
+            "faceters": ["admin_set"],
+            "collection_titles": [("https://repo/collections/c1", "Civil War Papers")],
+        },
+    )
+    rows = {r.doc_id: r.admin_set__facet for r in out.collect()}
+    assert rows[1] == "Civil War Papers"
+    assert rows[2] == "https://repo/collections/unknown"  # URI fallback
+    assert rows[3] is None
+
+    with pytest.raises(ValueError, match="collection_titles"):
+        run_chain(df, ["facets"], conf={"faceters": ["admin_set"]})
