@@ -1539,7 +1539,7 @@ def oracle_sql() -> dict[str, str]:
             "unnest(list_transform(generate_series(1, len(tt)-1), "
             "i -> array_to_string(list_slice(tt,i,i+1),' '))) AS g "
             "FROM (SELECT doc_id, str_split(lt,' ') AS tt FROM m)) GROUP BY doc_id, g), "
-            "tb AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)*2/any_value(n),6) AS tbf "
+            "tb AS (SELECT doc_id, round(least(CAST(max(c) AS DOUBLE)*2/any_value(n), 1.0),6) AS tbf "
             "FROM tg GROUP BY doc_id) "
             "SELECT m.doc_id, "
             "round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines), 6) AS dup_line_frac, "

@@ -82,6 +82,19 @@ def run_job(
     model_chains: dict[str, list[str]] | None = None,
     dedup: str | None = None,
 ) -> dict:
+    if resume and dedup is not None:
+        # global dedup + partial recompute is unsound: a duplicate pair
+        # spanning a completed bucket and a recomputed one would survive
+        # (only the recomputed side participates in the dedup), so
+        # resumed output would differ from a fresh run. Fail fast
+        # rather than silently under-dedup.
+        raise ValueError(
+            f"--dedup {dedup} is incompatible with --resume: dedup is a "
+            "global operation but resume recomputes only incomplete "
+            "buckets; rerun without --resume (or dedup as a separate "
+            "full pass over the written docs)"
+        )
+
     docs_path = os.path.join(output_path, "docs")
     manifest_path = os.path.join(output_path, "manifests")
     metrics_path = os.path.join(output_path, "metrics")
@@ -152,18 +165,24 @@ def run_job(
             .drop("_rn")
         )
 
+    near_dedup_persisted = None
     if dedup == "near":
         # post-extraction NEAR-dup removal: MinHash+LSH pairs over the
         # extracted text → connected components → keep each cluster's
         # canonical (minimum-url) member. The pair/cluster work runs on
         # (url, extracted_text) only — column-pruned off the wide doc
-        # rows — then a left-anti join drops the losers.
+        # rows — then a left-anti join drops the losers. The docs frame
+        # is persisted first: clustering forces the extraction UDF, and
+        # without the persist the final write would run the whole
+        # extraction a second time.
         from solrizer_spark.operators.dedup import (
             connected_components,
             dedup_keep_canonical,
             minhash_lsh_pairs,
         )
 
+        docs = docs.persist()
+        near_dedup_persisted = docs
         text_side = docs.where(F.col("extracted_text").isNotNull()).select(
             "url", "extracted_text"
         )
@@ -184,6 +203,8 @@ def run_job(
     # run are replaced; completed buckets' data stays in place
     write_table(docs, docs_path, mode="overwrite", partition_by=["partition_key"])
     elapsed = time.monotonic() - t0
+    if near_dedup_persisted is not None:
+        near_dedup_persisted.unpersist()
 
     # manifest-last: completion rows derive from the durably written
     # sink, restricted to buckets recomputed THIS run (resume appends
@@ -196,8 +217,11 @@ def run_job(
         written = written.where(~F.col("partition_key").isin(done))
     # ONE verification scan of the durable sink feeds both side tables:
     # metrics first, then the completion manifest derived from the same
-    # aggregation (manifest-last ordering preserved — a crash between
-    # the writes leaves the bucket unmarked and it is recomputed)
+    # aggregation. The manifest stays LAST (the commit marker): a crash
+    # between the two writes leaves the bucket unmarked, so resume
+    # recomputes it and appends a second metrics row for that bucket —
+    # metrics is an append-only lineage log keyed by run_id; consumers
+    # take the row whose run_id the manifest marks complete
     metrics = build_metrics(written, run_id).persist()
     write_table(metrics, metrics_path, mode="append")
     write_table(

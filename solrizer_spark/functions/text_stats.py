@@ -191,4 +191,9 @@ def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
             ).alias("best"),
         ),
     )
-    return F.round(folded["best"].cast("double") * n / F.size(toks), 6)
+    # cap at 1.0: overlapping runs ("x x x" → two "x x" bigrams over 3
+    # tokens) and sub-n-token docs (single whole-text gram) would
+    # otherwise push the "fraction" above 1
+    return F.round(
+        F.least(folded["best"].cast("double") * n / F.size(toks), F.lit(1.0)), 6
+    )

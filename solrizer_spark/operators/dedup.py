@@ -248,6 +248,11 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     array updated with ``zip_with`` (an earlier form ran one aggregate
     per bit — 32 redundant md5 passes over every token). Balance sums
     are integers, so the fold order can't change the fingerprint.
+
+    NULL text yields a NULL fingerprint — null-text rows (parse
+    failures) are deliberately EXCLUDED from near-dup pairing rather
+    than collapsing into one degenerate all-nulls bucket (the exact
+    pathological cluster the bucket caps exist to defuse).
     """
     col = F.col(text) if isinstance(text, str) else text
     toks = F.split(col, " ")
@@ -383,6 +388,7 @@ def connected_components(
         ).collect()[0][0]
 
     prev_sum = _probe(labels)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -400,9 +406,23 @@ def connected_components(
         new_sum = _probe(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # a component wider than max_iterations hops still carries
+        # split labels — surface it loudly (dedup would keep several
+        # "canonicals" for one true cluster)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components did not converge in %d iterations; "
+            "labels for components with diameter > %d are incomplete — "
+            "raise max_iterations",
+            max_iterations,
+            max_iterations,
+        )
     return labels
 
 

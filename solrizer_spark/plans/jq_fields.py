@@ -66,20 +66,26 @@ def _element_collector(element_type: T.DataType, name: str):
 
 def _collect_any(col: Column, dtype: T.DataType, name: str) -> Column | None:
     """``array<string>`` of every ``name`` value under this subtree in
-    pre-order document order, or None when the schema cannot match."""
+    jq's ``..`` object order, or None when the schema cannot match.
+
+    Order contract: each object emits its OWN matching field first,
+    THEN descends into its container fields in schema order — jq
+    visits an object (applying ``.name``) before walking its children,
+    regardless of where ``name`` sits among the fields."""
     if isinstance(dtype, T.StructType):
         parts: list[Column] = []
-        for f in dtype.fields:
-            sub = col.getField(f.name)
+        for f in dtype.fields:  # self-match first (jq visits the object first)
             if f.name == name and _is_collectible(f.dataType):
+                sub = col.getField(f.name)
                 if isinstance(f.dataType, T.ArrayType):
                     parts.append(F.coalesce(sub.cast("array<string>"), _empty()))
                 else:
                     parts.append(F.array(sub.cast("string")))
+        for f in dtype.fields:  # then descend in field order
             if isinstance(f.dataType, (T.StructType, T.ArrayType)) and _subtree_has(
                 f.dataType, name
             ):
-                parts.append(_collect_any(sub, f.dataType, name))
+                parts.append(_collect_any(col.getField(f.name), f.dataType, name))
         if not parts:
             return None
         return parts[0] if len(parts) == 1 else F.concat(*parts)

@@ -328,9 +328,15 @@ def stage_iiif_links(df: DataFrame, conf: dict) -> DataFrame:
     )
     if "pages" in df.columns:
         page_type = df.schema["pages"].dataType
-        has_files = isinstance(page_type, T.ArrayType) and any(
-            f.name == files_field for f in page_type.elementType.fields
+        is_struct_array = isinstance(page_type, T.ArrayType) and isinstance(
+            page_type.elementType, T.StructType
         )
+        if not is_struct_array:
+            raise ValueError(
+                "iiif_links requires 'pages' to be an array of structs "
+                f"(got {page_type.simpleString()})"
+            )
+        has_files = any(f.name == files_field for f in page_type.elementType.fields)
         if has_files:
             thumb_ids = F.transform(
                 F.col("pages"), lambda p: thumbnail_identifier(p[files_field], prefix)

@@ -157,3 +157,64 @@ def test_atomic_diff_schema_union(spark):
     assert '"set":"s1"' in by_id[1].updates["subtitle"]
     assert 2 not in by_id  # null-valued new field on doc 2 = no change? no:
     # old side had no subtitle (null) and new is null → eqNullSafe → unchanged
+
+
+def test_jq_recursive_descent_jq_object_order(spark):
+    """jq visits an object (emitting its .x) BEFORE its children, even
+    when the matching field comes after a container field in the
+    schema (round-2 review finding)."""
+    from solrizer_spark.plans.jq_fields import recursive_values
+
+    df = spark.createDataFrame(
+        [([("p1",), ("p2",)], "root-id")],
+        "pages array<struct<id:string>>, id string",
+    )
+    got = df.select(recursive_values(df, "id").alias("r")).first().r
+    assert got == ["root-id", "p1", "p2"]  # self first, then descend
+
+
+def test_top_ngram_fraction_capped_at_one(spark):
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.functions.text_stats import top_ngram_fraction
+
+    df = spark.createDataFrame([("hello",), ("x x x",)], "text string")
+    got = [r.f for r in df.select(top_ngram_fraction("text", 2).alias("f")).collect()]
+    assert got[0] == 1.0  # sub-n-token doc: whole text is the gram
+    assert got[1] == 1.0  # overlapping runs capped
+
+
+def test_dedup_modes_refuse_resume(spark, tmp_path):
+    import pytest as _pytest
+
+    from job import run_job
+
+    for mode in ("url", "exact", "near"):
+        with _pytest.raises(ValueError, match="incompatible with --resume"):
+            run_job(spark, "/nonexistent", str(tmp_path / mode),
+                    n_buckets=4, resume=True, dedup=mode)
+
+
+def test_simhash_null_text_excluded(spark):
+    """NULL text → NULL fingerprint: parse failures must not form one
+    degenerate all-nulls bucket."""
+    from solrizer_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, None), (2, "real text here")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r.sh for r in
+            df.select("doc_id", simhash("text", 32).alias("sh")).collect()}
+    assert rows[1] is None
+    assert rows[2] is not None
+
+
+def test_iiif_links_rejects_non_struct_pages(spark):
+    import pytest as _pytest
+
+    from solrizer_spark.plans.pipeline import run_chain
+
+    df = spark.createDataFrame(
+        [("https://x/obj/1", ["a", "b"])], "url string, pages array<string>"
+    )
+    with _pytest.raises(ValueError, match="array of structs"):
+        run_chain(df, ["iiif_links"])
