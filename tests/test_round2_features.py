@@ -278,3 +278,72 @@ def test_admin_set_faceter_dim_join(spark):
 
     with pytest.raises(ValueError, match="collection_titles"):
         run_chain(df, ["facets"], conf={"faceters": ["admin_set"]})
+
+
+def test_normalize_idempotent_scrub_deterministic(spark):
+    """normalize_text is idempotent; scrub_pii is deterministic and
+    leaves pattern-free text untouched (bulk property check, one job)."""
+    import random
+
+    from solrizer_spark.functions.scrub import normalize_text, scrub_pii
+
+    rng = random.Random(7)
+    pieces = ["word", " ", "\t", "\n", "\x01", "x@y.io", "10.0.0.1",
+              "555-123-4567", "..", "a-b", "  ", "W1", "@", "."]
+    rows = [
+        ("".join(rng.choice(pieces) for _ in range(rng.randint(0, 25))),)
+        for _ in range(400)
+    ] + [("clean words only here",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        normalize_text("text").alias("n1"),
+        normalize_text(normalize_text("text")).alias("n2"),
+        scrub_pii("text").alias("s1"),
+        scrub_pii("text").alias("s1b"),
+        F.col("text"),
+    ).collect()
+    for r in out:
+        assert r.n1 == r.n2          # idempotent
+        assert r.s1 == r.s1b         # deterministic
+        assert "\t" not in r.n1 and "  " not in r.n1
+    clean = [r for r in out if r.text == "clean words only here"][0]
+    assert clean.s1 == "clean words only here"
+
+
+def test_jq_matches_python_reference(spark):
+    """recursive_values agrees with a direct Python implementation of
+    jq's ..|objects|.name over randomized nested rows."""
+    import random
+
+    from solrizer_spark.plans.jq_fields import recursive_values
+
+    rng = random.Random(13)
+
+    def rand_val():
+        return rng.choice([None, f"v{rng.randint(0, 9)}"])
+
+    rows = []
+    for _ in range(50):
+        rows.append((
+            rand_val(),
+            [ (rand_val(), [ (rand_val(),) for _ in range(rng.randint(0, 2)) ])
+              for _ in range(rng.randint(0, 3)) ],
+            (rand_val(), [ (rand_val(),) for _ in range(rng.randint(0, 2)) ]),
+        ))
+    schema = ("x string, items array<struct<x:string, subs:array<struct<x:string>>>>, "
+              "nested struct<x:string, subs:array<struct<x:string>>>")
+    df = spark.createDataFrame(rows, schema)
+
+    def reference(row):
+        # jq: visit object → emit .x → descend children in field order
+        out = [row[0]]
+        for item in row[1]:
+            out.append(item[0])
+            out.extend(s[0] for s in item[1])
+        out.append(row[2][0])
+        out.extend(s[0] for s in row[2][1])
+        return out
+
+    got = [r.r for r in df.select(recursive_values(df, "x").alias("r")).collect()]
+    for spark_vals, row in zip(got, rows):
+        assert spark_vals == reference(row)
