@@ -81,6 +81,7 @@ def run_job(
     chain: list[str] | None = None,
     model_chains: dict[str, list[str]] | None = None,
     dedup: str | None = None,
+    stage_conf: dict | None = None,
 ) -> dict:
     if resume and dedup is not None:
         # global dedup + partial recompute is unsound: a duplicate pair
@@ -139,14 +140,19 @@ def run_job(
     if model_chains:
         from solrizer_spark.plans.pipeline import run_model_chains
 
-        out = run_model_chains(pages, model_chains)
+        out = run_model_chains(pages, model_chains, conf=stage_conf)
     else:
-        out = build_pipeline(chain or DEFAULT_CHAIN)(pages)
+        out = build_pipeline(chain or DEFAULT_CHAIN, conf=stage_conf)(pages)
     # a custom chain may legitimately skip stages → keep whatever
     # subset of the canonical sink columns it produced, plus any
     # registered faceter columns
     keep = [c for c in DOC_COLUMNS if c in out.columns]
     keep += [c for c in out.columns if c.endswith("__facet") and c not in keep]
+    # detail-chain outputs: child docs + IIIF link fields
+    keep += [
+        c for c in out.columns
+        if (c == "pages" or c.startswith("iiif_")) and c not in keep
+    ]
     docs = out.select(*keep)
 
     if dedup == "exact":
@@ -261,16 +267,23 @@ def main() -> None:
     )
     ap.add_argument(
         "--chains", default=None,
-        help="JSON file with the stage chain (list) or per-model chains "
-        "(object with '__default__'), the indexers.yml analog",
+        help="JSON file with the stage chain (list), per-model chains "
+        "(object with '__default__'), or the extended form "
+        '{"chains": <either>, "conf": {...}} carrying stage config '
+        "(include_blocks, faceters, aggregate_fields, iiif patterns) — "
+        "the indexers.yml + indexer-settings.yml analog",
     )
     args = ap.parse_args()
 
     chain = None
     model_chains = None
+    stage_conf = None
     if args.chains:
         with open(args.chains) as fh:
             loaded = json.load(fh)
+        if isinstance(loaded, dict) and "chains" in loaded:
+            stage_conf = loaded.get("conf")
+            loaded = loaded["chains"]
         if isinstance(loaded, list):
             chain = loaded
         else:
@@ -290,6 +303,7 @@ def main() -> None:
         resume=args.resume,
         chain=chain,
         model_chains=model_chains,
+        stage_conf=stage_conf,
         dedup=args.dedup,
     )
     print(json.dumps(stats))

@@ -289,3 +289,34 @@ def test_job_near_dedup_mode(spark, tmp_path):
     # canonical member (min url) survives: copy/ < p/ lexicographically
     assert sum(1 for u in urls if "/copy/" in u) == 10
     assert sum(1 for u in urls if "/p/" in u) == 20
+
+
+def test_job_detail_chain_config(spark, corpus_dir, tmp_path):
+    """The extended --chains form ({"chains": ..., "conf": ...}) drives
+    the detail chain end-to-end: child docs + IIIF fields reach the
+    sink with stage conf (include_blocks, jq fields, IIIF patterns)."""
+    import json
+
+    import duckdb
+
+    from job import run_job
+
+    cfg = json.load(open("configs/chains.detail.example.json"))
+    out = str(tmp_path / "out")
+    stats = run_job(
+        spark,
+        os.path.join(corpus_dir, "pages"),
+        out,
+        n_buckets=8,
+        model_chains=cfg["chains"],
+        stage_conf=cfg["conf"],
+    )
+    assert stats["n_docs"] == 200
+    row = duckdb.sql(
+        f"SELECT pages, iiif_manifest__uri FROM '{out}/docs/**/*.parquet' "
+        "WHERE pages IS NOT NULL AND len(pages) > 0 LIMIT 1"
+    ).fetchone()
+    assert row is not None
+    pages, manifest_uri = row
+    assert manifest_uri.startswith("https://iiif.example.edu/manifests/fcrepo:")
+    assert pages[0]["page__label__txt"] == "[Page 1]"
