@@ -61,6 +61,20 @@ MIN_WORDS_WITH_LINKS = 3
 #: uses an 80-column virtual canvas).
 DENSITY_CANVAS_COLS = 80
 
+# one dict lookup per tag instead of six frozenset probes (hot path)
+_F_BLOCK, _F_VOID, _F_SKIP, _F_LINK, _F_BOILER, _F_TITLE = 1, 2, 4, 8, 16, 32
+_TAG_FLAGS: dict[str, int] = {}
+for _tags, _bit in (
+    (BLOCK_TAGS, _F_BLOCK),
+    (VOID_TAGS, _F_VOID),
+    (SKIP_TAGS, _F_SKIP),
+    (("a",), _F_LINK),
+    (BOILERPLATE_CONTAINERS, _F_BOILER),
+    (("title",), _F_TITLE),
+):
+    for _t in _tags:
+        _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _bit
+
 
 @dataclass
 class Block:
@@ -91,11 +105,15 @@ class ExtractionResult:
         return "\n".join(b.text for b in self.blocks if b.kept)
 
 
-class _Extractor(HTMLParser):
-    """Single-pass extractor: raw text stream + block segmentation."""
+class _ExtractorState:
+    """Backend-independent extractor sink: raw text stream + block
+    segmentation, driven by a tag/data event stream. Both the stdlib
+    ``HTMLParser`` backend and the fast scanner
+    (:mod:`solrizer_spark.extraction.fastscan`) feed the same four
+    methods, so the block features and raw-text bytes are backend-
+    invariant by construction."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.raw_parts: list[str] = []
         self.title_parts: list[str] = []
         self.blocks: list[Block] = []
@@ -113,15 +131,15 @@ class _Extractor(HTMLParser):
         if not self._buf:  # hot path: most block-tag boundaries carry no text
             self._buf_link_chars = 0
             return
-        text = "".join(self._buf)
+        words = "".join(self._buf).split()
         link_chars = self._buf_link_chars
         self._buf = []
         self._buf_link_chars = 0
-        norm = " ".join(text.split())
-        if not norm:
+        if not words:
             return
+        norm = " ".join(words)
         n_chars = len(norm)
-        n_words = len(norm.split())
+        n_words = len(words)
         lines = max(1.0, n_chars / DENSITY_CANVAS_COLS)
         self.blocks.append(
             Block(
@@ -137,48 +155,54 @@ class _Extractor(HTMLParser):
             )
         )
 
-    # -- HTMLParser callbacks ----------------------------------------------
+    # -- event callbacks ----------------------------------------------------
 
-    def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in BLOCK_TAGS:
+    def _on_start(self, tag: str) -> None:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_BLOCK:
             self._flush_block()
-        if tag in VOID_TAGS:
+        if f & _F_VOID:
             return
         self._stack.append(tag)
-        if tag in SKIP_TAGS:
-            self._skip_depth += 1
-        if tag == "a":
-            self._link_depth += 1
-        if tag in BOILERPLATE_CONTAINERS:
-            self._boiler_depth += 1
-        if tag == "title":
-            self._title_depth += 1
+        if f & ~(_F_BLOCK | _F_VOID):
+            if f & _F_SKIP:
+                self._skip_depth += 1
+            if f & _F_LINK:
+                self._link_depth += 1
+            if f & _F_BOILER:
+                self._boiler_depth += 1
+            if f & _F_TITLE:
+                self._title_depth += 1
 
-    def handle_endtag(self, tag: str) -> None:
-        if tag in VOID_TAGS:
+    def _on_end(self, tag: str) -> None:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_VOID:
             return
-        if tag in BLOCK_TAGS:
+        if f & _F_BLOCK:
             self._flush_block()
         # pop to the matching open tag (tolerates misnesting)
-        if tag in self._stack:
-            while self._stack:
-                popped = self._stack.pop()
-                if popped in SKIP_TAGS:
-                    self._skip_depth -= 1
-                if popped == "a":
-                    self._link_depth -= 1
-                if popped in BOILERPLATE_CONTAINERS:
-                    self._boiler_depth -= 1
-                if popped == "title":
-                    self._title_depth -= 1
+        stack = self._stack
+        if tag in stack:
+            while stack:
+                popped = stack.pop()
+                pf = _TAG_FLAGS.get(popped, 0)
+                if pf & ~(_F_BLOCK | _F_VOID):
+                    if pf & _F_SKIP:
+                        self._skip_depth -= 1
+                    if pf & _F_LINK:
+                        self._link_depth -= 1
+                    if pf & _F_BOILER:
+                        self._boiler_depth -= 1
+                    if pf & _F_TITLE:
+                        self._title_depth -= 1
                 if popped == tag:
                     break
 
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        if tag in BLOCK_TAGS:
+    def _on_startend(self, tag: str) -> None:
+        if _TAG_FLAGS.get(tag, 0) & _F_BLOCK:
             self._flush_block()
 
-    def handle_data(self, data: str) -> None:
+    def _on_data(self, data: str) -> None:
         if self._skip_depth:
             return
         self.raw_parts.append(data)
@@ -189,7 +213,32 @@ class _Extractor(HTMLParser):
         if self._link_depth:
             self._buf_link_chars += len(" ".join(data.split()))
 
-    def close(self) -> None:  # final flush
+    def finish(self) -> None:  # final flush
+        self._flush_block()
+
+
+class _Extractor(HTMLParser, _ExtractorState):
+    """stdlib-``HTMLParser``-driven extractor: the parity-reference
+    backend (exactly the round-1/2 kernel). Kept as the semantic
+    oracle the fast scanner is differential-tested against."""
+
+    def __init__(self) -> None:
+        HTMLParser.__init__(self, convert_charrefs=True)
+        _ExtractorState.__init__(self)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._on_start(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._on_end(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._on_startend(tag)
+
+    def handle_data(self, data: str) -> None:
+        self._on_data(data)
+
+    def close(self) -> None:
         super().close()
         self._flush_block()
 
@@ -214,13 +263,70 @@ def classify_blocks(blocks: list[Block]) -> None:
             b.kept = True
 
 
-def extract_html(payload: bytes | str | None) -> ExtractionResult:
+#: Default parse backend. ``fast`` is the from-scratch single-shot
+#: scanner (fastscan.py) — stdlib-event-stream-exact, differential-
+#: fuzz-tested, ~3× less CPU; ``stdlib`` is the HTMLParser-driven
+#: parity reference. Overridable per-cluster without code changes via
+#: ``SOLRIZER_HTML_BACKEND`` (executors inherit it through
+#: ``spark.executorEnv.*``).
+import os as _os
+
+DEFAULT_BACKEND = _os.environ.get("SOLRIZER_HTML_BACKEND", "fast")
+
+
+def _run_fast(text: str) -> _ExtractorState:
+    from solrizer_spark.extraction.fastscan import scan
+
+    state = _ExtractorState()
+    scan(text, state)
+    state.finish()
+    return state
+
+
+def _run_stdlib(text: str) -> _ExtractorState:
+    parser = _Extractor()
+    parser.feed(text)
+    parser.close()
+    return parser
+
+
+def _run_lxml(text: str) -> _ExtractorState:
+    from solrizer_spark.extraction.lxml_backend import run_lxml
+
+    return run_lxml(text)
+
+
+_BACKENDS = {"fast": _run_fast, "stdlib": _run_stdlib, "lxml": _run_lxml}
+
+
+def _resolve_backend(backend: str):
+    """Loud config failure: a typo'd ``SOLRIZER_HTML_BACKEND`` must
+    fail the job, not silently quarantine every page as parse_failed."""
+    try:
+        run = _BACKENDS[backend]
+    except KeyError:
+        raise ValueError(f"unknown HTML backend {backend!r} (fast|stdlib|lxml)") from None
+    if backend == "lxml":
+        from solrizer_spark.extraction.lxml_backend import HAVE_LXML
+
+        if not HAVE_LXML:
+            raise ImportError("backend='lxml' selected but lxml is not installed on this image")
+    return run
+
+
+def extract_html(payload: bytes | str | None, backend: str | None = None) -> ExtractionResult:
     """Parse one HTML payload into ``ExtractionResult``.
 
-    Never raises: malformed input yields ``parse_failed=True`` with an
-    ``error`` tag, so a 10^12-row job cannot be failed by one bad page
-    (reference analog: IndexerError quarantine paths,
+    Never raises on malformed input: it yields ``parse_failed=True``
+    with an ``error`` tag, so a 10^12-row job cannot be failed by one
+    bad page (reference analog: IndexerError quarantine paths,
     src/solrizer/indexers/extracted_text.py:100-103).
+
+    ``backend`` selects the parse kernel (default
+    :data:`DEFAULT_BACKEND`): all backends drive the same
+    ``_ExtractorState`` sink, so block features and raw-text bytes are
+    kernel-independent; byte parity is pinned by the reference-fixture
+    goldens and a differential fuzz suite.
     """
     if payload is None:
         return ExtractionResult(None, None, parse_failed=True, error="empty_html")
@@ -235,17 +341,16 @@ def extract_html(payload: bytes | str | None) -> ExtractionResult:
         if not payload:
             return ExtractionResult(None, None, parse_failed=True, error="empty_html")
         text = payload
-    parser = _Extractor()
+    run = _resolve_backend(backend or DEFAULT_BACKEND)
     try:
-        parser.feed(text)
-        parser.close()
-    except Exception as e:  # html.parser is tolerant; belt and braces
+        state = run(text)
+    except Exception as e:  # both kernels are tolerant; belt and braces
         return ExtractionResult(None, None, parse_failed=True, error=f"parse_error:{type(e).__name__}")
-    blocks = parser.blocks
+    blocks = state.blocks
     classify_blocks(blocks)
-    title = " ".join("".join(parser.title_parts).split()) or None
+    title = " ".join("".join(state.title_parts).split()) or None
     return ExtractionResult(
-        raw_text="".join(parser.raw_parts),
+        raw_text="".join(state.raw_parts),
         title=title,
         blocks=blocks,
     )

@@ -80,6 +80,27 @@ def membership_flag_facet(
     )
 
 
+def concat_values(arr: Column | str, separator: str = " / ") -> Column:
+    """``separator.join(sorted(values))`` (concat_values,
+    faceters.py:87-90): sort the multivalued column's elements
+    (binary/UTF8 order, matching Python ``sorted`` on str) and join.
+    Null array passes through as null."""
+    return F.array_join(F.array_sort(_col(arr)), separator)
+
+
+def get_labels(objects: Column | str, separator: str = " / ") -> Column:
+    """One concatenated-label string per linked object (get_labels,
+    faceters.py:93-96): ``objects`` is an ``array<struct<...,
+    label:array<string>>>`` — the Spark shape of an RDFObjectProperty
+    whose objects each carry a multivalued ``label``. Row-local
+    higher-order function: no join, no shuffle, codegen'd."""
+    sep = separator  # closure, NOT a default arg (PySpark HOF lambdas
+    # bind extra params positionally to the array index)
+    return F.transform(
+        _col(objects), lambda o: F.array_join(F.array_sort(o["label"]), sep)
+    )
+
+
 def vocab_label_join(
     df: DataFrame,
     uri_col: str,

@@ -179,6 +179,105 @@ def _admin_set_faceter(df: DataFrame, conf: dict) -> DataFrame:
     return vocab_label_join(df, "member_of__uri", "admin_set__facet", vocab=dim)
 
 
+# -- label-concat faceter family (S36 remainder) -------------------------
+# The reference's Contributor/Creator/Publisher/Subject/Location/
+# PresentationSet/ArchivalCollection faceters all share one primitive:
+# get_labels/concat_values over linked-object labels (faceters.py:
+# 87-103). Its per-model ``match`` arms select WHICH property feeds the
+# primitive (e.g. Creator: Item→creator, Letter→author); here the
+# chain's input schema plays the model role — each faceter probes its
+# source columns in the reference's match-arm order and uses the first
+# present. All are row-local Column expressions (no join, no shuffle).
+
+
+def _labels_of(df: DataFrame, faceter: str, *arms):
+    """First matching (column, kind) arm; kind is 'labels' (linked
+    objects → get_labels), 'concat' (direct values → one joined
+    string), or 'values' (direct multivalued passthrough)."""
+    from solrizer_spark.functions.faceters import concat_values, get_labels
+
+    for col, kind in arms:
+        if col in df.columns:
+            if kind == "labels":
+                return get_labels(col)
+            if kind == "concat":
+                return F.array(concat_values(col))
+            return F.col(col)
+    raise ValueError(
+        f"faceter {faceter!r} requires one of "
+        f"{[c for c, _ in arms]} (available: {sorted(df.columns)})"
+    )
+
+
+def _contributor_faceter(df: DataFrame):
+    # ContributorFacet (faceters.py:185-198): Item → contributor labels
+    return _labels_of(df, "contributor", ("contributor__objects", "labels"))
+
+
+def _creator_faceter(df: DataFrame):
+    # CreatorFacet (faceters.py:201-217): Item → creator labels,
+    # Letter → author labels
+    return _labels_of(
+        df, "creator", ("creator__objects", "labels"), ("author__objects", "labels")
+    )
+
+
+def _publisher_faceter(df: DataFrame):
+    # PublisherFacet (faceters.py:315-331): Item → publisher labels,
+    # Poster → direct values concatenated to one string
+    return _labels_of(
+        df, "publisher", ("publisher__objects", "labels"), ("publisher", "concat")
+    )
+
+
+def _subject_faceter(df: DataFrame):
+    # SubjectFacet (faceters.py:393-409): Item|Letter → subject labels,
+    # Poster → direct values passthrough
+    return _labels_of(
+        df, "subject", ("subject__objects", "labels"), ("subject", "values")
+    )
+
+
+def _location_faceter(df: DataFrame):
+    # LocationFacet (faceters.py:240-259): Item → location labels,
+    # Letter → place labels, Poster → direct values as one string
+    return _labels_of(
+        df,
+        "location",
+        ("location__objects", "labels"),
+        ("place__objects", "labels"),
+        ("location", "concat"),
+    )
+
+
+def _presentation_set_faceter(df: DataFrame):
+    # PresentationSetFacet (faceters.py:285-297): labels of the
+    # presentation_set objects; objects without the property yield
+    # null (the reference catches AttributeError → None → facet
+    # omitted), so a missing column is null, not an error
+    from solrizer_spark.functions.faceters import get_labels
+
+    if "presentation_set__objects" not in df.columns:
+        return F.lit(None).cast("array<string>")
+    return get_labels("presentation_set__objects")
+
+
+def _archival_collection_faceter(df: DataFrame):
+    # ArchivalCollectionFacet (faceters.py:135-154): Item →
+    # archival_collection labels, Letter → part_of labels, Poster →
+    # the direct part_of value as a single-element list
+    if "archival_collection__objects" not in df.columns and (
+        "part_of__objects" not in df.columns
+    ) and "part_of" in df.columns:
+        return F.array(F.col("part_of").cast("string"))
+    return _labels_of(
+        df,
+        "archival_collection",
+        ("archival_collection__objects", "labels"),
+        ("part_of__objects", "labels"),
+    )
+
+
 #: Faceters are either ``df -> Column`` (the facet value; appended as
 #: ``{name}__facet``), ``df -> DataFrame`` (join-shaped faceters that
 #: add their own ``{name}__facet`` column), or ``(df, conf) ->`` either
@@ -195,6 +294,13 @@ FACETERS: dict[str, Callable[[DataFrame], "object"]] = {
     "rdf_type": _rdf_type_faceter,
     "rights": _rights_faceter,
     "admin_set": _admin_set_faceter,
+    "contributor": _contributor_faceter,
+    "creator": _creator_faceter,
+    "publisher": _publisher_faceter,
+    "subject": _subject_faceter,
+    "location": _location_faceter,
+    "presentation_set": _presentation_set_faceter,
+    "archival_collection": _archival_collection_faceter,
 }
 
 #: faceters every default chain runs (the rest need columns the crawl
