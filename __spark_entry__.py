@@ -224,6 +224,60 @@ def q_facet_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S36 label-concat faceter family (get_labels/concat_values,
+    faceters.py:87-103) as named registry faceters, covering every
+    primitive arm: linked-object labels with sorted ' / ' concat
+    (contributor — two objects; creator — Letter author arm; subject;
+    location — Letter place arm), direct-value concat (publisher —
+    Poster arm), the missing-property null (presentation_set,
+    faceters.py:294-297), and ArchivalCollection's Poster direct
+    part_of value (faceters.py:145-152). Linked objects are
+    synthesized deterministically from the documents text tokens."""
+    from solrizer_spark.plans.pipeline import run_chain
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def tk(k: int) -> Column:
+        return F.coalesce(F.try_element_at(toks, F.lit(k)), F.lit(f"tok{k}"))
+
+    def obj(*labels: Column) -> Column:
+        return F.struct(F.array(*labels).alias("label"))
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.array(obj(tk(2), tk(1)), obj(tk(3))).alias("contributor__objects"),
+        F.array(obj(tk(7), tk(3))).alias("author__objects"),
+        F.array(tk(4), tk(1)).alias("publisher"),
+        F.array(obj(tk(5), tk(2))).alias("subject__objects"),
+        F.array(obj(tk(1), tk(6))).alias("place__objects"),
+        F.concat(F.lit("archive-"), (F.col("doc_id") % 5).cast("string")).alias("part_of"),
+    )
+    out = run_chain(
+        base,
+        ["facets"],
+        conf={
+            "faceters": [
+                "contributor", "creator", "publisher", "subject",
+                "location", "presentation_set", "archival_collection",
+            ]
+        },
+    )
+    j = lambda c: F.array_join(F.col(c), "|")  # noqa: E731
+    return out.select(
+        "doc_id",
+        j("contributor__facet").alias("contributor"),
+        j("creator__facet").alias("creator"),
+        j("publisher__facet").alias("publisher"),
+        j("subject__facet").alias("subject"),
+        j("location__facet").alias("location"),
+        j("presentation_set__facet").alias("presentation_set"),
+        j("archival_collection__facet").alias("archival_collection"),
+    )
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -945,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_facet_counts": q_lang_facet_counts,
         "facet_primitives": q_facet_primitives,
         "facet_vocab_join": q_facet_vocab_join,
+        "facet_labels": q_facet_labels,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1245,6 +1300,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # facet_labels: tokens are 1-based in both engines; list_sort /
+        # array_sort both use binary string order; the oracle states the
+        # expected concatenation directly instead of replaying the
+        # struct-transform, so the two computations are independent
+        "facet_labels": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), "
+            "t AS (SELECT doc_id, "
+            "coalesce(tk[1], 'tok1') AS t1, coalesce(tk[2], 'tok2') AS t2, "
+            "coalesce(tk[3], 'tok3') AS t3, coalesce(tk[4], 'tok4') AS t4, "
+            "coalesce(tk[5], 'tok5') AS t5, coalesce(tk[6], 'tok6') AS t6, "
+            "coalesce(tk[7], 'tok7') AS t7 FROM s) "
+            "SELECT doc_id, "
+            "array_to_string(list_sort([t2, t1]), ' / ') || '|' || t3 AS contributor, "
+            "array_to_string(list_sort([t7, t3]), ' / ') AS creator, "
+            "array_to_string(list_sort([t4, t1]), ' / ') AS publisher, "
+            "array_to_string(list_sort([t5, t2]), ' / ') AS subject, "
+            "array_to_string(list_sort([t1, t6]), ' / ') AS location, "
+            "CAST(NULL AS VARCHAR) AS presentation_set, "
+            "'archive-' || CAST(doc_id % 5 AS VARCHAR) AS archival_collection "
+            "FROM t"
+        ),
         "solr_timestamp": (
             "SELECT event_id, "
             "CASE WHEN extract(microsecond FROM ts) % 1000000 = 0 "

@@ -82,6 +82,8 @@ def run_job(
     model_chains: dict[str, list[str]] | None = None,
     dedup: str | None = None,
     stage_conf: dict | None = None,
+    near_signatures_path: str | None = None,
+    near_cc_algorithm: str = "label_propagation",
 ) -> dict:
     if resume and dedup is not None:
         # global dedup + partial recompute is unsound: a duplicate pair
@@ -172,6 +174,7 @@ def run_job(
         )
 
     near_dedup_persisted = None
+    near_dedup_stats = None
     if dedup == "near":
         # post-extraction NEAR-dup removal: MinHash+LSH pairs over the
         # extracted text → connected components → keep each cluster's
@@ -193,9 +196,19 @@ def run_job(
             "url", "extracted_text"
         )
         pairs = minhash_lsh_pairs(
-            text_side, id_col="url", text_col="extracted_text", threshold=0.8
+            text_side,
+            id_col="url",
+            text_col="extracted_text",
+            threshold=0.8,
+            # at 10^12 rows pass --near-signatures-path: signatures go
+            # to a durable table instead of executor block cache
+            persist_base=near_signatures_path is None,
+            signatures_path=near_signatures_path,
         )
-        comps = connected_components(pairs)
+        near_dedup_stats = {}
+        comps = connected_components(
+            pairs, algorithm=near_cc_algorithm, stats=near_dedup_stats
+        )
         docs = dedup_keep_canonical(docs, comps, id_col="url")
 
     docs, obs = attach_observation(docs)
@@ -246,6 +259,7 @@ def run_job(
         "elapsed_sec": round(elapsed, 2),
         "skipped_buckets": skipped,
         "counters": {k: int(v) for k, v in counters.items() if v is not None},
+        **({"near_dedup": near_dedup_stats} if near_dedup_stats is not None else {}),
     }
 
 
@@ -264,6 +278,20 @@ def main() -> None:
         "exact: keep one doc per identical extracted_text (post-extraction); "
         "near: MinHash+LSH pairs -> connected components -> keep one doc "
         "per near-duplicate cluster (post-extraction)",
+    )
+    ap.add_argument(
+        "--near-signatures-path", default=None,
+        help="with --dedup near: write MinHash signatures to this parquet "
+        "path instead of executor-cache persist (the 10^12-row scale mode; "
+        "results are identical)",
+    )
+    ap.add_argument(
+        "--near-cc-algorithm", choices=["label_propagation", "star"],
+        default="label_propagation",
+        help="with --dedup near: connected-components algorithm — "
+        "label_propagation converges in O(diameter) rounds (near-clique "
+        "dup clusters), star (large-star/small-star) in O(log^2 n) "
+        "rounds regardless of diameter (huge or chain-shaped graphs)",
     )
     ap.add_argument(
         "--chains", default=None,
@@ -305,6 +333,8 @@ def main() -> None:
         model_chains=model_chains,
         stage_conf=stage_conf,
         dedup=args.dedup,
+        near_signatures_path=args.near_signatures_path,
+        near_cc_algorithm=args.near_cc_algorithm,
     )
     print(json.dumps(stats))
     spark.stop()

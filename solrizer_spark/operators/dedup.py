@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 64,
     persist_base: bool = True,
+    signatures_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
 
@@ -175,11 +176,21 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_n).alias("_sh"),
     ).withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
-    if persist_base:
+    if signatures_path is not None:
+        # 10^12-row scale path: the shingle/signature base is written
+        # to durable storage once and re-read by the banding stage and
+        # both verification-join sides — executor block-cache persist()
+        # at that scale would evict or spill, and a table survives
+        # job restarts (the signatures are by far the most expensive
+        # intermediate). Same results as persist_base, by construction
+        # and by test (tests/test_dedup_scale_paths.py).
+        base.write.mode("overwrite").parquet(signatures_path)
+        base = df.sparkSession.read.parquet(signatures_path)
+    elif persist_base:
         # the shingle/signature base feeds banding AND both sides of
         # the verification join — without persistence it is computed
         # three times (measured ~1.5× total). At 10^12 scale write the
-        # signatures to a table instead and set persist_base=False.
+        # signatures to a table instead (signatures_path).
         base = base.persist()
 
     # band keys: hash of each signature slice → (band_idx, band_key)
@@ -341,11 +352,23 @@ def simhash_near_dup_pairs(
     return pairs
 
 
+def _label_checksum() -> Column:
+    """Type-agnostic convergence checksum: sum of per-row label hashes
+    — identical iff no label changed this round (hash-collision
+    false-stop probability ~2^-64 per round). decimal(38,0): a plain
+    BIGINT sum overflows under ANSI mode; xxhash64 of the string form
+    keeps numeric and url ids on one code path."""
+    return F.sum(F.xxhash64(F.col("component")).cast("decimal(38,0)")).alias("label_sum")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "label_propagation",
+    strict: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the step
     a real dedup pipeline runs AFTER pair generation: transitive
@@ -354,76 +377,184 @@ def connected_components(
     appears in ``pairs``, where ``component`` is the minimum id
     reachable (deterministic regardless of iteration order).
 
-    Algorithm: min-label propagation. Labels start as own id; each
-    round every node takes the min of its label and its neighbors'
-    labels (ids may be any orderable type — numeric doc ids or
-    urls); converges in O(diameter) rounds (LSH dup clusters are
-    near-cliques, so typically 1-3). Each round is one shuffle
-    (aggregate min over edges) + one join; ``localCheckpoint``
-    truncates the growing lineage. Convergence is detected by a
-    label-hash checksum — one cheap scalar action per round, no
-    full-table compare. At 10^12-edge scale swap
-    the loop body for the large-star/small-star variant (same driver
-    skeleton, fewer rounds); the per-round plan here is already the
-    shuffle-minimal form.
+    Two interchangeable algorithms (identical output):
+
+    * ``label_propagation`` (default): labels start as own id; each
+      round every node takes the min of its label and its neighbors'
+      labels (ids may be any orderable type — numeric doc ids or
+      urls); converges in O(diameter) rounds (LSH dup clusters are
+      near-cliques, so typically 1-3). Each round is one shuffle
+      (aggregate min over edges) + one join.
+    * ``star``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC'14) — converges in O(log² n) rounds regardless
+      of diameter, the right choice for 10^12-edge graphs or long
+      chain topologies (see :func:`_star_round`).
+
+    Per round exactly ONE Spark action runs: the convergence checksum
+    rides the eager ``localCheckpoint`` materialization as an
+    ``observe()`` metric (no separate probe job), and the checkpoint
+    truncates the growing lineage.
+
+    Non-convergence (component diameter > ``max_iterations`` under
+    label propagation) is never silent: ``strict=True`` raises;
+    otherwise a warning is logged and, when a ``stats`` dict is
+    supplied, ``stats['converged']=False`` + ``stats['rounds']`` let
+    callers (job.py run stats) surface it without log scraping.
     """
+    from pyspark.sql import Observation
+
+    if algorithm not in ("label_propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r} (label_propagation|star)")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
-    )
-    # convergence probe: sum of per-row label hashes — type-agnostic
-    # (ids may be urls), identical iff no label changed this round
-    # (hash-collision false-stop probability ~2^-64 per round)
-    def _probe(lb):
-        return lb.agg(
-            F.sum(F.xxhash64(F.col("component")).cast("decimal(38,0)"))
-        ).collect()[0][0]
 
-    prev_sum = _probe(labels)
     converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nb_min"))
+    rounds = 0
+    if algorithm == "star":
+        labels, converged, rounds = _star_components(edges, max_iterations)
+    else:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint()
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nb_min"), F.col("component"))).alias("component"),
+        prev_sum = labels.agg(_label_checksum()).collect()[0][0]
+        for rounds in range(1, max_iterations + 1):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nb_min"))
+            )
+            obs = Observation()
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nb_min"), F.col("component")),
+                    ).alias("component"),
+                )
+                .observe(obs, _label_checksum())
+                .localCheckpoint()  # eager: runs the round's ONE job
+            )
+            new_sum = obs.get["label_sum"]
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    edges.unpersist()
+    if stats is not None:
+        stats["converged"] = converged
+        stats["rounds"] = rounds
+        stats["algorithm"] = algorithm
+    if not converged:
+        # a component wider than max_iterations hops still carries
+        # split labels — dedup would keep several "canonicals" for one
+        # true cluster. Never silent: raise under strict, else warn +
+        # stats flag.
+        msg = (
+            f"connected_components({algorithm}) did not converge in "
+            f"{max_iterations} iterations; labels for components with "
+            f"diameter > {max_iterations} are incomplete — raise "
+            "max_iterations or use algorithm='star'"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
+    return labels
+
+
+def _star_components(edges: DataFrame, max_iterations: int):
+    """Alternating large-star/small-star rounds (Kiveris et al.,
+    SoCC'14) over a symmetric edge list, until the edge set is stable.
+
+    * large-star: every node connects its strictly-larger neighbors to
+      the minimum of its closed neighborhood;
+    * small-star: every node connects its not-larger neighbors and
+      itself to that minimum.
+
+    Each half-round is one groupBy shuffle + one broadcast-free join,
+    and the edge set only shrinks toward a star per component, so the
+    round count is O(log² n) independent of graph diameter — the
+    documented swap-in for 10^12-edge graphs where min-label
+    propagation's O(diameter) rounds are unaffordable. Works for any
+    orderable id type (numeric or url), like the label-propagation
+    path.
+
+    Returns ``(labels, converged, rounds)`` with labels in the same
+    ``(id, component)`` shape as label propagation.
+    """
+    from pyspark.sql import Observation
+
+    # orient each undirected edge once; keep both directions available
+    # per round via the symmetric frame
+    cur = edges.where(F.col("src") != F.col("dst")).localCheckpoint()
+    prev_sum = None
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        # -- large-star ------------------------------------------------
+        sym = cur.unionByName(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star ------------------------------------------------
+        oriented = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        mins2 = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        obs = Observation()
+        small = (
+            oriented.join(mins2, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("src").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .observe(
+                obs,
+                # per-row hash of the (src,dst) pair; summing int64
+                # hashes directly could overflow under ANSI, so cast
+                # each row's hash to decimal first
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("label_sum"),
             )
             .localCheckpoint()
         )
-        new_sum = _probe(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
+        new_sum = obs.get["label_sum"]
+        cur = small
+        if new_sum == prev_sum:  # both None ⇔ empty edge set: converged
             converged = True
             break
         prev_sum = new_sum
-    edges.unpersist()
-    if not converged:
-        # a component wider than max_iterations hops still carries
-        # split labels — surface it loudly (dedup would keep several
-        # "canonicals" for one true cluster)
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "connected_components did not converge in %d iterations; "
-            "labels for components with diameter > %d are incomplete — "
-            "raise max_iterations",
-            max_iterations,
-            max_iterations,
-        )
-    return labels
+    # stable star: every non-root points straight at its root
+    roots = cur.select(F.col("dst").alias("id")).distinct()
+    labels = (
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        .unionByName(roots.withColumn("component", F.col("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return labels, converged, rounds
 
 
 def dedup_keep_canonical(
