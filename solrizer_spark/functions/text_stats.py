@@ -150,9 +150,14 @@ def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
     """Gopher-style repetition signal: fraction of lines that are
     repeats of an earlier line (0.0 when every line is unique).
     Documents dominated by repeated lines (boilerplate listings,
-    scraper loops) are low-quality training text."""
+    scraper loops) are low-quality training text. ``sep`` is a literal
+    separator string (regex-escaped before it reaches ``F.split``, so
+    passing ``'.'`` or ``'|'`` splits on those characters, not on
+    every character)."""
+    import re
+
     col = F.col(text) if isinstance(text, str) else text
-    lines = F.split(col, sep)
+    lines = F.split(col, re.escape(sep))
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / F.size(lines), 6
     )

@@ -101,16 +101,25 @@ def expand_uri_template(template: str, id_value: Column) -> Column:
     (iiif_links.py:54-67 uses ``URITemplate(...).expand(id=...)``):
     the template is split at PLAN time; ``{+id}`` substitutes the raw
     value (RFC 6570 reserved expansion), ``{id}`` pct-encodes it
-    (simple expansion; we use url_encode with the form-encoding ``+``
-    fixed back to ``%20``)."""
+    (RFC 6570 simple expansion). Simple expansion is built on
+    ``url_encode`` (application/x-www-form-urlencoded) with the three
+    divergences from RFC 6570's unreserved set fixed up: `` `` must be
+    ``%20`` not ``+``, ``~`` stays literal, and ``*`` is encoded
+    (ADVICE r2; the reference's URITemplate follows RFC 6570)."""
     import re
+
+    def simple_expand(v: Column) -> Column:
+        enc = F.url_encode(v)
+        enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+        enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+        return F.replace(enc, F.lit("*"), F.lit("%2A"))
 
     pieces: list[Column] = []
     for tok in re.split(r"(\{\+?id\})", template):
         if tok == "{+id}":
             pieces.append(id_value)
         elif tok == "{id}":
-            pieces.append(F.replace(F.url_encode(id_value), F.lit("+"), F.lit("%20")))
+            pieces.append(simple_expand(id_value))
         elif tok:
             pieces.append(F.lit(tok))
     return F.concat(*pieces)

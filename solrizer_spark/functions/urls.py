@@ -12,8 +12,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: common two-level public suffixes (tiny public subset; a production
-#: deployment broadcasts the full public-suffix list as a dim table)
+from solrizer_spark.functions.psl import PSL_TWO_LEVEL_SNAPSHOT
+
+#: kept for backward compatibility; registered_domain now defaults to
+#: the full pinned snapshot (functions/psl.py, ~770 suffixes)
 TWO_LEVEL_SUFFIXES = ("co.uk", "com.au", "co.jp", "com.br", "co.in", "org.uk")
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
@@ -38,17 +40,24 @@ def url_path_depth(url: Column | str) -> Column:
     return F.size(F.filter(F.split(p, "/"), lambda s: s != ""))
 
 
-def registered_domain(url: Column | str) -> Column:
-    """eTLD+1 heuristic: last two host labels, or last three for the
-    embedded two-level-suffix subset."""
+def registered_domain(
+    url: Column | str, suffixes: frozenset[str] | None = None
+) -> Column:
+    """eTLD+1: last two host labels, or last three when the last two
+    are a known two-level public suffix (``a.b.co.uk`` → ``b.co.uk``).
+
+    ``suffixes`` defaults to the pinned PSL snapshot
+    (:mod:`solrizer_spark.functions.psl`, ~770 ccTLD second-level
+    registrations); pass ``psl.load_psl_file(...)`` for a full-list
+    deployment. The set compiles to a Catalyst ``InSet`` literal — a
+    per-row hash probe shipped with the plan, zero joins/shuffles, so
+    the lookup costs the same at 10^12 rows as at 10^3."""
     host = url_host(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
     last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
-    is_two_level = F.lit(False)
-    for suf in TWO_LEVEL_SUFFIXES:
-        is_two_level = is_two_level | last2.eqNullSafe(F.lit(suf)) | host.endswith("." + suf)
+    is_two_level = last2.isin(*sorted(suffixes or PSL_TWO_LEVEL_SNAPSHOT))
     return F.when(is_two_level & (n >= 3), last3).otherwise(last2)
 
 
@@ -103,10 +112,15 @@ def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):
     ``blocklist_df`` must have a ``domain`` column."""
     from pyspark.sql import functions as F
 
-    tagged = df.withColumn("_domain", registered_domain(url_col))
+    # collision-proof temp column: an input df that already carries
+    # ``_domain`` must not be clobbered (ADVICE r2)
+    tmp = "___blocklist_domain"
+    while tmp in df.columns:
+        tmp += "_"
+    tagged = df.withColumn(tmp, registered_domain(url_col))
     out = tagged.join(
-        F.broadcast(blocklist_df.select(F.col("domain").alias("_domain"))),
-        "_domain",
+        F.broadcast(blocklist_df.select(F.col("domain").alias(tmp))),
+        tmp,
         "left_anti",
     )
-    return out.drop("_domain")
+    return out.drop(tmp)

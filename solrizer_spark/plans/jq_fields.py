@@ -21,10 +21,16 @@ are filtered by the caller via ``array_compact``, mirroring the
 reference's ``filter(lambda v: v is not None, ...)``
 (aggregate_fields.py:42).
 
-Deliberate narrowing (documented): recursive descent collects scalar
-and array-of-scalar matches only — an object-valued match is
-descended *into* but not itself emitted (the reference's configured
-fields all target scalar leaves).
+Deliberate narrowings (documented):
+
+* recursive descent collects scalar and array-of-scalar matches only
+  — an object-valued match is descended *into* but not itself emitted
+  (the reference's configured fields all target scalar leaves);
+* an array-of-scalar match is FLATTENED into its elements, whereas
+  jq's ``.field`` yields the array as one result (which the reference
+  then appends as a single value). Flattening is the useful behavior
+  for multivalued Solr fields — each element becomes its own field
+  value — so the divergence is kept on purpose (ADVICE r2).
 """
 
 from __future__ import annotations

@@ -1,0 +1,214 @@
+"""Round-3 additions: PSL-backed eTLD+1, label-concat faceters,
+RFC 6570 simple-expansion fixups, literal-separator line splitting,
+and the PIL-gated real image decode."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# -- registered_domain over the pinned PSL snapshot -----------------------
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("https://a.b.co.uk/x", "b.co.uk"),
+        ("https://deep.sub.example.co.uk/", "example.co.uk"),
+        ("http://www.example.com/", "example.com"),
+        ("https://site.gov.uk/page", "site.gov.uk"),
+        ("https://x.y.z.com.au", "z.com.au"),
+        ("https://portal.ac.jp", "portal.ac.jp"),
+        ("https://co.uk/", "co.uk"),  # host IS the suffix
+        ("https://a.gc.ca/x", "a.gc.ca"),
+        ("https://b.example.de/x", "example.de"),  # plain ccTLD: 2 labels
+        ("https://one.two.in.ua", "two.in.ua"),
+    ],
+)
+def test_registered_domain_psl(spark, url, expected):
+    from solrizer_spark.functions.urls import registered_domain
+
+    got = (
+        spark.range(1)
+        .select(registered_domain(F.lit(url)).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == expected
+
+
+def test_registered_domain_custom_suffixes(spark):
+    from solrizer_spark.functions.urls import registered_domain
+
+    got = (
+        spark.range(1)
+        .select(
+            registered_domain(
+                F.lit("https://a.b.weird.zz/x"), suffixes=frozenset({"weird.zz"})
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    assert got == "b.weird.zz"
+
+
+def test_load_psl_file(tmp_path):
+    from solrizer_spark.functions.psl import load_psl_file
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// comment\n\ncom\nco.uk\n*.ck\n!www.ck\nCO.JP\n", encoding="utf-8"
+    )
+    got = load_psl_file(str(p))
+    # single-label, wildcard, and exception rules are skipped
+    assert got == frozenset({"co.uk", "co.jp"})
+
+
+def test_blocklist_preserves_existing_domain_column(spark):
+    """ADVICE r2: an input column named ``_domain`` must survive."""
+    from solrizer_spark.functions.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [("https://spam.com/a", "keepme"), ("https://ok.org/b", "keepme2")],
+        "url string, _domain string",
+    )
+    block = spark.createDataFrame([("spam.com",)], "domain string")
+    out = filter_blocked_domains(df, block)
+    rows = out.collect()
+    assert [r["url"] for r in rows] == ["https://ok.org/b"]
+    assert rows[0]["_domain"] == "keepme2"  # untouched passthrough
+
+
+# -- label-concat faceter primitives --------------------------------------
+
+
+def test_concat_values_and_get_labels(spark):
+    from solrizer_spark.functions.faceters import concat_values, get_labels
+
+    df = spark.createDataFrame(
+        [(["b", "a", "c"], [(["Z", "A"],), (["solo"],)])],
+        "vals array<string>, objs array<struct<label:array<string>>>",
+    )
+    row = df.select(
+        concat_values("vals").alias("cv"),
+        get_labels("objs").alias("gl"),
+        get_labels("objs", separator="; ").alias("gl2"),
+    ).collect()[0]
+    assert row["cv"] == "a / b / c"
+    assert row["gl"] == ["A / Z", "solo"]
+    assert row["gl2"] == ["A; Z", "solo"]
+
+
+def test_label_faceters_model_arms(spark):
+    """Per-model arm selection: Letter-shaped input (author/place) and
+    Poster-shaped input (direct publisher/part_of values)."""
+    from solrizer_spark.plans.pipeline import run_chain
+
+    letter = spark.createDataFrame(
+        [(1, "en", [(["Smith, J", "Arendt, H"],)], [(["Paris"],)])],
+        "doc_id long, lang string, "
+        "author__objects array<struct<label:array<string>>>, "
+        "place__objects array<struct<label:array<string>>>",
+    )
+    out = run_chain(letter, ["facets"], conf={"faceters": ["creator", "location"]})
+    row = out.collect()[0]
+    assert row["creator__facet"] == ["Arendt, H / Smith, J"]
+    assert row["location__facet"] == ["Paris"]
+
+    poster = spark.createDataFrame(
+        [(2, "en", ["Pub B", "Pub A"], "Coll-7")],
+        "doc_id long, lang string, publisher array<string>, part_of string",
+    )
+    out2 = run_chain(
+        poster, ["facets"], conf={"faceters": ["publisher", "archival_collection"]}
+    )
+    row2 = out2.collect()[0]
+    assert row2["publisher__facet"] == ["Pub A / Pub B"]
+    assert row2["archival_collection__facet"] == ["Coll-7"]
+
+
+def test_presentation_set_missing_is_null(spark):
+    from solrizer_spark.plans.pipeline import run_chain
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    out = run_chain(df, ["facets"], conf={"faceters": ["presentation_set"]})
+    assert out.collect()[0]["presentation_set__facet"] is None
+
+
+def test_label_faceter_missing_column_fails_fast(spark):
+    from solrizer_spark.plans.pipeline import run_chain
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="contributor.*requires one of"):
+        run_chain(df, ["facets"], conf={"faceters": ["contributor"]})
+
+
+# -- RFC 6570 simple expansion fixups --------------------------------------
+
+
+def test_uri_template_simple_expansion_rfc6570(spark):
+    from solrizer_spark.functions.uris import expand_uri_template
+
+    row = (
+        spark.range(1)
+        .select(
+            expand_uri_template(
+                "https://iiif.example/{id}/info.json", F.lit("a~b*c d/e")
+            ).alias("u"),
+            expand_uri_template(
+                "https://iiif.example/{+id}/info.json", F.lit("a~b*c d/e")
+            ).alias("raw"),
+        )
+        .collect()[0]
+    )
+    # ~ literal, * encoded, space %20, / encoded (simple expansion)
+    assert row["u"] == "https://iiif.example/a~b%2Ac%20d%2Fe/info.json"
+    assert row["raw"] == "https://iiif.example/a~b*c d/e/info.json"
+
+
+# -- literal separator in dup_line_fraction --------------------------------
+
+
+def test_dup_line_fraction_literal_sep(spark):
+    from solrizer_spark.functions.text_stats import dup_line_fraction
+
+    df = spark.createDataFrame([("a.b.a.b",)], "t string")
+    got = df.select(dup_line_fraction("t", sep=".").alias("f")).collect()[0]["f"]
+    # 4 segments, 2 distinct → 0.5 repeated (NOT split on every char)
+    assert got == 0.5
+
+
+# -- PIL-gated real decode --------------------------------------------------
+
+
+def test_decode_pixels_gated():
+    from solrizer_spark.operators.multimodal import HAVE_PIL, decode_pixels
+
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_pixels(b"\x89PNG\r\n")
+        pytest.skip("Pillow not installed in this sandbox; decode path gated")
+    # pragma: no cover below — runs only on images with Pillow
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    w, h, mode, raw = decode_pixels(buf.getvalue())
+    assert (w, h, mode) == (3, 2, "RGB")
+    assert len(raw) == 3 * 2 * 3
+
+
+def test_real_image_metadata_shape():
+    from solrizer_spark.operators.multimodal import (
+        HAVE_PIL,
+        MEDIA_META_TYPE,
+        real_image_metadata,
+    )
+
+    out = real_image_metadata(b"not-an-image")
+    assert set(out) == {f.name for f in MEDIA_META_TYPE.fields}
+    if not HAVE_PIL:
+        assert out["valid"] is False
