@@ -278,6 +278,22 @@ def q_facet_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping fixed-size token chunks
+    per document (map-side transform+posexplode, no shuffle) — the
+    pretokenization fan-out of a training pipeline."""
+    from solrizer_spark.operators.sampling import chunk_text
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_text(docs, "text", chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk",
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+    )
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -1000,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_primitives": q_facet_primitives,
         "facet_vocab_join": q_facet_vocab_join,
         "facet_labels": q_facet_labels,
+        "chunk_text": q_chunk_text,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1300,6 +1317,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # chunk_text: step=24 (32-token chunks, 8 overlap); duckdb list
+        # slice is 1-based inclusive and truncates past the end, same
+        # as Spark's slice(arr, start, length)
+        "chunk_text": (
+            "SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_index, "
+            "u.chunk AS chunk, CAST(u.nt AS BIGINT) AS chunk_n_tokens FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(0, k - 1), "
+            "i -> {'idx': i, "
+            "'chunk': array_to_string(tk[i*24+1 : i*24+32], ' '), "
+            "'nt': len(tk[i*24+1 : i*24+32])})) AS u "
+            "FROM (SELECT doc_id, tk, CASE WHEN len(tk) <= 32 THEN 1 "
+            "ELSE (len(tk) - 32 + 23) // 24 + 1 END AS k "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS tk "
+            "FROM documents WHERE text IS NOT NULL)))"
+        ),
         # facet_labels: tokens are 1-based in both engines; list_sort /
         # array_sort both use binary string order; the oracle states the
         # expected concatenation directly instead of replaying the

@@ -84,6 +84,7 @@ def run_job(
     stage_conf: dict | None = None,
     near_signatures_path: str | None = None,
     near_cc_algorithm: str = "label_propagation",
+    input_format: str = "auto",
 ) -> dict:
     if resume and dedup is not None:
         # global dedup + partial recompute is unsound: a duplicate pair
@@ -103,7 +104,12 @@ def run_job(
     metrics_path = os.path.join(output_path, "metrics")
     run_id = uuid.uuid4().hex[:12]
 
-    pages = read_pages(spark, input_path)
+    pages = read_pages(spark, input_path, fmt=input_format)
+    if input_format == "warc" or input_path.endswith((".warc", ".warc.gz")):
+        # raw-archive ingestion is a heavier scan than a columnar
+        # table; cut the lineage here so downstream bucket pruning /
+        # fingerprinting don't re-parse the archives
+        pages = pages.localCheckpoint()
     corpus_fp = corpus_fingerprint(pages)
     pages = pages.withColumn("partition_key", url_bucket("url", n_buckets, salt))
 
@@ -280,6 +286,13 @@ def main() -> None:
         "per near-duplicate cluster (post-extraction)",
     )
     ap.add_argument(
+        "--input-format", choices=["auto", "parquet", "iceberg", "warc"],
+        default="auto",
+        help="pages input format; warc ingests raw Common-Crawl-style "
+        "archives (*.warc / *.warc.gz, one gzip member per record) "
+        "directly",
+    )
+    ap.add_argument(
         "--near-signatures-path", default=None,
         help="with --dedup near: write MinHash signatures to this parquet "
         "path instead of executor-cache persist (the 10^12-row scale mode; "
@@ -335,6 +348,7 @@ def main() -> None:
         dedup=args.dedup,
         near_signatures_path=args.near_signatures_path,
         near_cc_algorithm=args.near_cc_algorithm,
+        input_format=args.input_format,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -74,6 +74,47 @@ def topk_per_group(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split long documents into overlapping fixed-size token chunks —
+    the pretokenization step of a training pipeline (one context-
+    window-sized sample per chunk, ``overlap`` tokens of left context
+    carried into each subsequent chunk).
+
+    Pure map-side: tokenize once, build all chunk structs with one
+    ``transform`` over a ``sequence``, then ``posexplode``. No
+    shuffle, so it composes into scan-time pipelines at any corpus
+    size; output rows ≈ input tokens / (chunk_tokens − overlap).
+
+    Emits ``chunk_index`` (0-based), ``chunk`` (space-joined token
+    slice) and ``chunk_n_tokens``. Documents with ≤ ``chunk_tokens``
+    tokens yield exactly one chunk (the whole text); null text yields
+    no rows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + step - 1) / step).cast("int") + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " "),
+    )
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    out = df.where(F.col(text_col).isNotNull()).select(
+        *keep, F.posexplode(chunks).alias("chunk_index", "chunk")
+    )
+    return out.withColumn("chunk_n_tokens", F.size(F.split(F.col("chunk"), " ")))
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str,

@@ -18,12 +18,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_pages(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
-    """Read the pages table. ``source`` is a path (parquet) or a
-    catalog table name (iceberg). ``fmt``: auto | parquet | iceberg."""
+    """Read the pages table. ``source`` is a path (parquet), a catalog
+    table name (iceberg), or raw WARC archives. ``fmt``: auto |
+    parquet | iceberg | warc (auto treats ``*.warc``/``*.warc.gz``
+    paths as warc)."""
     if fmt == "auto":
-        fmt = "iceberg" if ("." in source and "/" not in source) else "parquet"
+        if source.endswith((".warc", ".warc.gz")):
+            fmt = "warc"
+        else:
+            fmt = "iceberg" if ("." in source and "/" not in source) else "parquet"
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(source)
+    if fmt == "warc":
+        from solrizer_spark.sources.warc import read_warc
+
+        out = read_warc(spark, source)
+        # pages-schema projection: the extraction chain consumes
+        # (url, warc_ts, html, text, lang); text/lang are unknown at
+        # ingest (the chain derives them)
+        from pyspark.sql import functions as F
+
+        return out.where(F.col("url").isNotNull()).select(
+            "url",
+            "warc_ts",
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
     return spark.read.parquet(source)
 
 

@@ -212,3 +212,37 @@ def test_real_image_metadata_shape():
     assert set(out) == {f.name for f in MEDIA_META_TYPE.fields}
     if not HAVE_PIL:
         assert out["valid"] is False
+
+
+# -- chunk_text --------------------------------------------------------------
+
+
+def test_chunk_text_boundaries(spark):
+    from solrizer_spark.operators.sampling import chunk_text
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "short one"), (3, None)],
+                               "doc_id long, text string")
+    out = chunk_text(df, "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3 (null) emits nothing
+    assert set(by_doc) == {1, 2}
+    # doc 2 fits in one chunk, whole text
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk"] == "short one"
+    assert by_doc[2][0]["chunk_n_tokens"] == 2
+    # doc 1: step=3, chunks at token offsets 0,3,6(,9) → ceil((10-4)/3)+1 = 3
+    chunks = [r["chunk"] for r in sorted(by_doc[1], key=lambda r: r["chunk_index"])]
+    assert chunks == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    # one-token overlap carried into each subsequent chunk
+    assert all(a.split()[-1] == b.split()[0] for a, b in zip(chunks, chunks[1:]))
+
+
+def test_chunk_text_validates_params(spark):
+    from solrizer_spark.operators.sampling import chunk_text
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, "text", chunk_tokens=4, overlap=4)

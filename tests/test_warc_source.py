@@ -1,0 +1,126 @@
+"""WARC ingestion source: parser unit tests + Spark read + end-to-end
+extraction job over raw archives."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from solrizer_spark.sources.warc import (
+    iter_warc_records,
+    parse_warc,
+    write_warc,
+)
+
+
+def _ts(i: int) -> datetime:
+    return datetime(2026, 3, 1, 12, 0, i, tzinfo=timezone.utc)
+
+
+def _records(n: int = 5):
+    return [
+        {
+            "url": f"https://warc.example.org/page/{i}",
+            "ts": _ts(i),
+            "body": (
+                f"<html><head><title>Doc {i}</title></head>"
+                f"<body><p>warc body text {i}</p></body></html>"
+            ).encode(),
+            "rec_id": f"rec-{i}",
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True], ids=["plain", "gzip-members"])
+def test_roundtrip(tmp_path, gz):
+    path = str(tmp_path / ("a.warc.gz" if gz else "a.warc"))
+    recs = _records(5)
+    write_warc(recs, path, gzip_members=gz)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    rows = list(parse_warc(data, source_file=path))
+    assert len(rows) == 5
+    for i, row in enumerate(rows):
+        assert row["url"] == recs[i]["url"]
+        assert row["warc_ts"] == recs[i]["ts"].replace(tzinfo=timezone.utc)
+        assert row["html"] == recs[i]["body"]
+        assert row["http_status"] == 200
+        assert row["content_type"] == "text/html"
+        assert row["parse_error"] is None
+
+
+def test_non_response_records_skipped():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.org/\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n"
+    )
+    assert list(parse_warc(info + req)) == []
+    assert len(list(iter_warc_records(info + req))) == 2
+
+
+def test_malformed_tail_is_quarantined_not_fatal(tmp_path):
+    path = str(tmp_path / "b.warc")
+    write_warc(_records(2), path)
+    with open(path, "rb") as fh:
+        good = fh.read()
+    # truncated record after the two good ones: scan stops cleanly
+    rows = list(parse_warc(good + b"WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort"))
+    assert len(rows) == 2
+    # bad HTTP block: emitted with parse_error, not dropped silently
+    bad_http = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/\r\n"
+        b"WARC-Date: 2026-03-01T00:00:00Z\r\n"
+        b"Content-Length: 7\r\n\r\nnothttp\r\n\r\n"
+    )
+    rows2 = list(parse_warc(bad_http))
+    assert len(rows2) == 1
+    assert rows2[0]["parse_error"] == "bad_http_response"
+    assert rows2[0]["html"] is None
+
+
+def test_read_warc_spark(spark, tmp_path):
+    from solrizer_spark.sources.warc import read_warc
+
+    write_warc(_records(6), str(tmp_path / "seg-0.warc.gz"), gzip_members=True)
+    write_warc(
+        [
+            {**r, "url": r["url"] + "?seg=1", "rec_id": r["rec_id"] + "-s1"}
+            for r in _records(4)
+        ],
+        str(tmp_path / "seg-1.warc"),
+    )
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 10
+    assert {r["http_status"] for r in rows} == {200}
+    assert all(r["source_file"] for r in rows)
+
+
+def test_job_over_raw_warc(spark, tmp_path):
+    """End-to-end: raw archives → extraction chain → docs parquet.
+    Extracted text must equal the known page text (title text node +
+    paragraph, clean-page markup-strip route)."""
+    from job import run_job
+
+    warc_dir = tmp_path / "archives"
+    warc_dir.mkdir()
+    write_warc(_records(8), str(warc_dir / "crawl-0.warc.gz"), gzip_members=True)
+    out = str(tmp_path / "out")
+    stats = run_job(
+        spark, str(warc_dir), out, n_buckets=8, input_format="warc"
+    )
+    assert stats["n_docs"] == 8
+    docs = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(f"{out}/docs").collect()
+    }
+    for i in range(8):
+        assert docs[f"https://warc.example.org/page/{i}"] == (
+            f"Doc {i}warc body text {i}"
+        )
