@@ -106,10 +106,19 @@ def run_job(
 
     pages = read_pages(spark, input_path, fmt=input_format)
     if input_format == "warc" or input_path.endswith((".warc", ".warc.gz")):
-        # raw-archive ingestion is a heavier scan than a columnar
-        # table; cut the lineage here so downstream bucket pruning /
-        # fingerprinting don't re-parse the archives
-        pages = pages.localCheckpoint()
+        # materialize the archive parse ONCE to a durable side table:
+        # downstream needs multiple passes (corpus fingerprint + the
+        # main write), and re-parsing raw archives per pass — or
+        # caching every page's bytes in executor block storage
+        # (localCheckpoint: not fault-tolerant, evicts cluster-wide at
+        # scale) — are both the wrong cost model. Same pattern as
+        # --near-signatures-path. On --resume an existing ingest is
+        # reused, so a restart never re-parses completed archives.
+        ingest_path = os.path.join(output_path, "ingest")
+        if not (resume and os.path.isdir(ingest_path)):
+            shutil.rmtree(ingest_path, ignore_errors=True)
+            pages.write.mode("overwrite").parquet(ingest_path)
+        pages = spark.read.parquet(ingest_path)
     corpus_fp = corpus_fingerprint(pages)
     pages = pages.withColumn("partition_key", url_bucket("url", n_buckets, salt))
 

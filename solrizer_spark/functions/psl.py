@@ -17,9 +17,9 @@ Scale/accuracy notes:
   into its image and pass ``suffixes=load_psl_file(path)`` to
   ``registered_domain``; the embedded snapshot is the fallback and
   the two agree wherever the snapshot has an entry.
-* Only two-label public suffixes are included: three-label rules
-  (e.g. Japanese prefecture/city domains) are rare in crawl data and
-  the full-file path covers them.
+* Only two-label public suffixes are included in the SNAPSHOT;
+  ``registered_domain`` also honors three-label rules (longest match
+  first) when a full-list set supplies them.
 """
 
 from __future__ import annotations
@@ -148,10 +148,12 @@ PSL_TWO_LEVEL_SNAPSHOT: frozenset[str] = frozenset(
 
 
 def load_psl_file(path: str) -> frozenset[str]:
-    """Parse a pinned ``public_suffix_list.dat`` (ICANN section rules
-    only; comments/blank lines skipped, wildcard and exception rules
-    ignored) into the suffix set ``registered_domain`` consumes. For
-    deployments that need full-list fidelity."""
+    """Parse a pinned ``public_suffix_list.dat`` into the suffix set
+    ``registered_domain`` consumes (multi-label rules from BOTH the
+    ICANN and private sections; comments/blank lines skipped;
+    wildcard ``*.``/exception ``!`` rules and single-label TLDs — the
+    default rule — ignored). For deployments that need full-list
+    fidelity beyond the embedded snapshot."""
     out = set()
     with open(path, encoding="utf-8") as fh:
         for line in fh:

@@ -49,16 +49,27 @@ def registered_domain(
     ``suffixes`` defaults to the pinned PSL snapshot
     (:mod:`solrizer_spark.functions.psl`, ~770 ccTLD second-level
     registrations); pass ``psl.load_psl_file(...)`` for a full-list
-    deployment. The set compiles to a Catalyst ``InSet`` literal — a
-    per-row hash probe shipped with the plan, zero joins/shuffles, so
-    the lookup costs the same at 10^12 rows as at 10^3."""
+    deployment — three-label rules in the set (e.g. ``act.edu.au``)
+    are honored too (longest match wins, per the PSL algorithm). An
+    explicitly empty set means "plain last-two-labels heuristic". The
+    set compiles to a Catalyst ``InSet`` literal — a per-row hash
+    probe shipped with the plan, zero joins/shuffles, so the lookup
+    costs the same at 10^12 rows as at 10^3."""
+    sufs = sorted(PSL_TWO_LEVEL_SNAPSHOT if suffixes is None else suffixes)
+    two_level = [s for s in sufs if s.count(".") == 1]
+    three_level = [s for s in sufs if s.count(".") == 2]
     host = url_host(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
     last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
-    is_two_level = last2.isin(*sorted(suffixes or PSL_TWO_LEVEL_SNAPSHOT))
-    return F.when(is_two_level & (n >= 3), last3).otherwise(last2)
+    out = F.when(
+        (last2.isin(*two_level) if two_level else F.lit(False)) & (n >= 3), last3
+    ).otherwise(last2)
+    if three_level:  # longest-match first (zero cost when absent)
+        last4 = F.array_join(F.slice(labels, F.greatest(n - 3, F.lit(1)), 4), ".")
+        out = F.when(last3.isin(*three_level) & (n >= 4), last4).otherwise(out)
+    return out
 
 
 def normalize_url(url: Column | str) -> Column:

@@ -546,12 +546,18 @@ def _star_components(edges: DataFrame, max_iterations: int):
             converged = True
             break
         prev_sum = new_sum
-    # stable star: every non-root points straight at its root
-    roots = cur.select(F.col("dst").alias("id")).distinct()
+    # one row per node id that appeared in pairs — including nodes
+    # whose only edge was a self-pair (dropped from `cur` up front)
+    # and, on non-convergence, nodes still carrying several outgoing
+    # edges (take the min: labels stay one-row-per-id, possibly
+    # incomplete — which the caller surfaces via converged=False).
+    # At convergence every non-root has exactly one edge (to its
+    # root), so this is exactly "star edges + roots point at self".
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    comp = cur.groupBy("src").agg(F.min("dst").alias("_comp"))
     labels = (
-        cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
-        .unionByName(roots.withColumn("component", F.col("id")))
-        .distinct()
+        nodes.join(comp, nodes.id == comp.src, "left")
+        .select("id", F.coalesce(F.col("_comp"), F.col("id")).alias("component"))
         .localCheckpoint()
     )
     return labels, converged, rounds

@@ -61,18 +61,22 @@ WARC_PAGES_SCHEMA = T.StructType(
 _CRLF = b"\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream; Common Crawl
-    writes one member per record, so naive gzip.decompress would stop
-    at the first."""
-    out = []
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield each gzip member's decompressed bytes; Common Crawl
+    writes one member per WARC record, so this streams record-by-
+    record instead of materializing the whole (~4-5× larger)
+    decompressed archive at once. A corrupt member ends the scan
+    (callers surface it as a per-archive parse_error row — one bad
+    deflate stream must never fail the Spark task)."""
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
+        try:
+            member = d.decompress(rest) + d.flush()
+        except zlib.error:
+            return
+        yield member
         rest = d.unused_data
-    return b"".join(out)
 
 
 def _parse_headers(blob: bytes) -> dict[str, str]:
@@ -86,11 +90,21 @@ def _parse_headers(blob: bytes) -> dict[str, str]:
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield ``(warc_headers, block_bytes)`` per record from raw WARC
-    bytes (gzip auto-detected). Tolerant: a malformed record ends the
-    scan rather than raising (the tail is unreachable without a valid
-    Content-Length anyway)."""
+    bytes (gzip auto-detected; multi-member gzip streamed member by
+    member). Tolerant: a malformed record ends the scan rather than
+    raising (the tail is unreachable without a valid Content-Length
+    anyway)."""
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        # one member per record (the Common Crawl layout): stream;
+        # a single member holding many records also works (each chunk
+        # is scanned for every record it contains)
+        for member in _iter_gzip_members(data):
+            yield from _iter_records_plain(member)
+        return
+    yield from _iter_records_plain(data)
+
+
+def _iter_records_plain(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     buf = io.BytesIO(data)
     n = len(data)
     while buf.tell() < n:
@@ -110,6 +124,10 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            return
+        if length < 0:
+            # a negative length would make buf.read() swallow the whole
+            # tail as one garbage block — stop cleanly instead
             return
         block = buf.read(length)
         if len(block) < length:
@@ -169,19 +187,39 @@ def parse_warc(data: bytes, source_file: str = "") -> Iterator[dict]:
         }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, batch_rows: int = 2000) -> DataFrame:
     """Read WARC archive(s) into the pages shape via ``binaryFile`` +
-    ``mapInPandas`` (one streaming parser per archive; Arrow-batched
-    output, zero per-row Python UDF calls)."""
+    ``mapInPandas``: one streaming parser per archive, rows emitted in
+    ≤ ``batch_rows`` Arrow batches so peak task memory is one raw
+    archive (inherent to the binaryFile source) + one batch of parsed
+    rows — never the whole decompressed archive plus every row at
+    once. Any per-archive parser crash (corrupt gzip, pathological
+    bytes) is quarantined as a single ``parse_error='archive_error:*'``
+    row for that file, never a task failure."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+
+    def _archive_error(path_: str, err: Exception) -> dict:
+        return {
+            **{c: None for c in cols},
+            "source_file": path_,
+            "parse_error": f"archive_error:{type(err).__name__}",
+        }
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                rows = list(parse_warc(bytes(content), source_file=path_))
+                rows: list[dict] = []
+                try:
+                    for row in parse_warc(bytes(content), source_file=path_):
+                        rows.append(row)
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                except Exception as e:  # one bad archive ≠ a dead job
+                    rows.append(_archive_error(path_, e))
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

@@ -195,3 +195,29 @@ def test_job_near_dedup_signatures_and_star(spark, corpus_dir, tmp_path):
     db = spark.read.parquet(f"{out_b}/docs").select("url", "extracted_text")
     assert sorted(map(tuple, da.collect())) == sorted(map(tuple, db.collect()))
     assert stats_a["n_docs"] == stats_b["n_docs"] > 0
+
+
+def test_cc_star_lone_self_pair(spark):
+    """A node whose ONLY edge is a self-pair must still get a label row
+    (review regression: star dropped self-loops before labeling)."""
+    from solrizer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    got = _labels(connected_components(pairs, algorithm="star"))
+    assert got == [(1, 1), (2, 1), (7, 7)]
+
+
+def test_cc_star_nonconverged_one_row_per_id(spark):
+    """Exhausting the round budget must still yield structurally valid
+    labels: exactly one row per id (review regression: mid-contraction
+    edge lists produced duplicate ids with conflicting components)."""
+    from solrizer_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 40)]
+    stats = {}
+    out = connected_components(
+        _pairs_df(spark, edges), max_iterations=1, algorithm="star", stats=stats
+    ).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == len(set(ids)) == 39 + 1
+    assert stats["converged"] is False

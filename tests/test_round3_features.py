@@ -246,3 +246,36 @@ def test_chunk_text_validates_params(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(df, "text", chunk_tokens=4, overlap=4)
+
+
+def test_registered_domain_three_label_rule(spark):
+    """Full-PSL sets may carry 3-label rules; longest match wins."""
+    from solrizer_spark.functions.urls import registered_domain
+
+    sufs = frozenset({"edu.au", "act.edu.au"})
+    rows = (
+        spark.createDataFrame(
+            [("https://school.act.edu.au/x",), ("https://uni.edu.au/y",)],
+            "url string",
+        )
+        .select("url", registered_domain("url", suffixes=sufs).alias("d"))
+        .collect()
+    )
+    got = {r["url"]: r["d"] for r in rows}
+    assert got["https://school.act.edu.au/x"] == "school.act.edu.au"
+    assert got["https://uni.edu.au/y"] == "uni.edu.au"
+
+
+def test_registered_domain_empty_suffix_set(spark):
+    """An explicitly empty set means plain last-two-labels (review
+    regression: falsy check silently restored the default snapshot)."""
+    from solrizer_spark.functions.urls import registered_domain
+
+    got = (
+        spark.range(1)
+        .select(
+            registered_domain(F.lit("https://a.b.co.uk/"), suffixes=frozenset()).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    assert got == "co.uk"

@@ -124,3 +124,62 @@ def test_job_over_raw_warc(spark, tmp_path):
         assert docs[f"https://warc.example.org/page/{i}"] == (
             f"Doc {i}warc body text {i}"
         )
+
+
+def test_corrupt_gzip_member_quarantined(spark, tmp_path):
+    """A corrupt deflate stream yields an archive_error row, never a
+    task failure (review regression)."""
+    import gzip
+
+    from solrizer_spark.sources.warc import read_warc
+
+    good = str(tmp_path / "ok.warc.gz")
+    write_warc(_records(3), good, gzip_members=True)
+    bad = tmp_path / "bad.warc.gz"
+    blob = bytearray(gzip.compress(b"WARC/1.0\r\nContent-Length: 10\r\n\r\n0123456789\r\n\r\n"))
+    blob[12] ^= 0xFF  # flip a bit inside the deflate stream
+    bad.write_bytes(bytes(blob))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    oks = [r for r in rows if r["parse_error"] is None]
+    errs = [r for r in rows if r["parse_error"] is not None]
+    assert len(oks) == 3
+    # the corrupt member either ends its archive's scan cleanly (zero
+    # rows from it) or surfaces as an archive_error row — never a crash
+    assert all(e["parse_error"].startswith("archive_error:") for e in errs)
+
+
+def test_negative_content_length_stops_cleanly():
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/\r\nContent-Length: -5\r\n\r\nbody\r\n\r\n"
+    )
+    assert list(iter_warc_records(rec)) == []
+
+
+def test_read_pages_warc_filters_non_html(spark, tmp_path):
+    """read_pages(warc) keeps only 2xx page-like responses."""
+    from solrizer_spark.sources.pages import read_pages
+
+    recs = _records(2)
+    recs.append(
+        {
+            "url": "https://warc.example.org/missing",
+            "ts": _ts(30),
+            "body": b"<html>not found</html>",
+            "rec_id": "rec-404",
+            "status": 404,
+        }
+    )
+    recs.append(
+        {
+            "url": "https://warc.example.org/api",
+            "ts": _ts(31),
+            "body": b'{"a": 1}',
+            "rec_id": "rec-json",
+            "content_type": "application/json",
+        }
+    )
+    path = str(tmp_path / "mixed.warc")
+    write_warc(recs, path)
+    urls = {r["url"] for r in read_pages(spark, path, fmt="warc").collect()}
+    assert urls == {f"https://warc.example.org/page/{i}" for i in range(2)}
