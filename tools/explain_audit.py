@@ -11,6 +11,8 @@ Checks:
 4. The vocab dim join broadcasts (BroadcastHashJoin, no
    SortMergeJoin).
 5. minhash LSH pair generation contains no CartesianProduct.
+6. chunk_text / the label-concat faceters are shuffle-free row-local
+   plans; WARC ingestion is exactly one MapInPandas crossing.
 """
 
 from __future__ import annotations
@@ -110,6 +112,44 @@ def main() -> int:
     p7 = plan_of(detail)
     check("detail_chain_single_python_stage", p7.count("ArrowEvalPython") == 1,
           f"count={p7.count('ArrowEvalPython')}")
+
+    # 8. chunk_text is map-side: transform+posexplode, zero exchanges
+    from solrizer_spark.operators.sampling import chunk_text
+
+    p8 = plan_of(chunk_text(docs.select("doc_id", "text"), "text", 32, 8))
+    check("chunk_text_no_shuffle", "Exchange" not in p8,
+          f"exchanges={p8.count('Exchange')}")
+
+    # 9. label-concat faceters are row-local Column exprs — no shuffle,
+    # no Python stage
+    p9 = plan_of(em.q_facet_labels(spark, sf))
+    check(
+        "facet_labels_no_shuffle_no_python",
+        "Exchange" not in p9 and "EvalPython" not in p9,
+        f"exchanges={p9.count('Exchange')} python={p9.count('EvalPython')}",
+    )
+
+    # 10. WARC ingestion: exactly one Python crossing (the mapInPandas
+    # archive parser), no shuffle before the pages projection
+    import tempfile
+    from datetime import datetime, timezone
+
+    from solrizer_spark.sources.pages import read_pages
+    from solrizer_spark.sources.warc import write_warc
+
+    with tempfile.TemporaryDirectory() as td:
+        wpath = f"{td}/a.warc"
+        write_warc(
+            [{"url": "https://x.org/1", "ts": datetime(2026, 1, 1, tzinfo=timezone.utc),
+              "body": b"<p>x</p>"}],
+            wpath,
+        )
+        p10 = plan_of(read_pages(spark, wpath, fmt="warc"))
+        check(
+            "warc_read_single_python_stage_no_shuffle",
+            p10.count("MapInPandas") == 1 and "Exchange" not in p10,
+            f"mapInPandas={p10.count('MapInPandas')} exchanges={p10.count('Exchange')}",
+        )
 
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
