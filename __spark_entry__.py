@@ -294,6 +294,27 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide repeated-line removal: every doc gets two
+    corpus-constant boilerplate lines and a footer shared by ~1/7 of
+    docs; lines occurring ≥3 times are dropped (no copies kept), doc
+    order preserved."""
+    from solrizer_spark.operators.dedup import remove_repeated_lines
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("SHARED COOKIE BANNER"),
+            F.col("text"),
+            F.concat(F.lit("footer-"), (F.col("doc_id") % 7).cast("string")),
+            F.lit("ALL RIGHTS RESERVED"),
+        ).alias("page_text"),
+    )
+    return remove_repeated_lines(multi, "doc_id", "page_text", min_count=3)
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -1017,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_vocab_join": q_facet_vocab_join,
         "facet_labels": q_facet_labels,
         "chunk_text": q_chunk_text,
+        "line_dedup": q_line_dedup,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1317,6 +1339,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        "line_dedup": (
+            "WITH d AS (SELECT doc_id, 'SHARED COOKIE BANNER' || chr(10) || text "
+            "|| chr(10) || 'footer-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "
+            "'ALL RIGHTS RESERVED' AS t FROM documents), "
+            "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)), "
+            "i -> {'idx': i, 'line': ls[i]})) AS u "
+            "FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d))), "
+            "c AS (SELECT line, count(*) AS n FROM e GROUP BY line) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(CASE WHEN n < 3 THEN line END, chr(10) ORDER BY idx), '') AS cleaned_text, "
+            "CAST(count(CASE WHEN n < 3 THEN 1 END) AS BIGINT) AS n_lines_kept, "
+            "CAST(count(CASE WHEN n >= 3 THEN 1 END) AS BIGINT) AS n_lines_dropped "
+            "FROM e JOIN c USING (line) GROUP BY doc_id"
+        ),
         # chunk_text: step=24 (32-token chunks, 8 overlap); duckdb list
         # slice is 1-based inclusive and truncates past the end, same
         # as Spark's slice(arr, start, length)

@@ -352,6 +352,59 @@ def simhash_near_dup_pairs(
     return pairs
 
 
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (the C4 cleaning rule: drop
+    every line that occurs ≥ ``min_count`` times across the corpus —
+    cookie banners, nav crumbs, boilerplate footers — keeping NO
+    copies). Returns ``(id, cleaned_text, n_lines_kept,
+    n_lines_dropped)`` for every input doc; a doc whose lines were all
+    boilerplate comes back with an empty ``cleaned_text``.
+
+    Dataflow: posexplode lines → global line count (one map-side-
+    combinable shuffle; the combiner collapses each partition's
+    repeats, so heavy boilerplate lines cost one row per partition on
+    the wire) → hash join counts back onto the exploded lines →
+    per-doc reassembly in original order (shuffle keyed by doc id).
+    Three shuffles total, all on uniform keys; no driver-side state.
+    At 10^12 docs the line-count table is the big intermediate — it
+    shrinks ~linearly with dedup effectiveness and never needs to be
+    broadcast."""
+    import re
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("_idx", "_line"),
+    )
+    counts = lines.groupBy("_line").agg(F.count(F.lit(1)).alias("_n"))
+    tagged = lines.join(counts, "_line").withColumn(
+        "_keep", F.col("_n") < F.lit(min_count)
+    )
+    per_doc = tagged.groupBy("_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("_idx"), F.col("_line")))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("cleaned_text"),
+        F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_lines_dropped"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col), "cleaned_text", "n_lines_kept", "n_lines_dropped"
+    )
+
+
 def _label_checksum() -> Column:
     """Type-agnostic convergence checksum: sum of per-row label hashes
     — identical iff no label changed this round (hash-collision

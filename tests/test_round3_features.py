@@ -279,3 +279,37 @@ def test_registered_domain_empty_suffix_set(spark):
         .collect()[0]["d"]
     )
     assert got == "co.uk"
+
+
+def test_remove_repeated_lines(spark):
+    from solrizer_spark.operators.dedup import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "BANNER\nunique alpha\nBANNER2"),
+            (2, "BANNER\nunique beta\nBANNER2"),
+            (3, "BANNER\nunique gamma\nBANNER2"),
+            (4, "BANNER\nBANNER2"),  # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_lines(df, min_count=3).collect()}
+    assert len(out) == 4
+    assert out[1]["cleaned_text"] == "unique alpha"
+    assert out[2]["cleaned_text"] == "unique beta"
+    assert out[4]["cleaned_text"] == ""
+    assert out[4]["n_lines_kept"] == 0 and out[4]["n_lines_dropped"] == 2
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 2
+
+
+def test_remove_repeated_lines_order_preserved(spark):
+    from solrizer_spark.operators.dedup import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "z last\nDUP\na first\nDUP\nm middle"), (2, "DUP\nDUP")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cleaned_text"]
+           for r in remove_repeated_lines(df, min_count=3).collect()}
+    # DUP occurs 4x corpus-wide -> dropped; original order kept
+    assert out[1] == "z last\na first\nm middle"
