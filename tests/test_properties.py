@@ -72,3 +72,43 @@ def test_media_header_never_raises(payload):
     meta = parse_media_header(payload)
     assert meta["valid"] in (True, False)
     assert meta["n_bytes"] == len(payload)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_warc_parser_never_raises(data):
+    """Arbitrary bytes through the WARC record scanner: any outcome
+    but an exception (10^12-row jobs cannot die on one bad archive)."""
+    from solrizer_spark.sources.warc import parse_warc
+
+    for row in parse_warc(data, source_file="fuzz"):
+        assert row["source_file"] == "fuzz"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunk_text_covers_document(tokens, chunk_tokens, overlap):
+    """Dropping each chunk's `overlap` carried tokens (except the
+    first chunk's) and concatenating reconstructs the document — no
+    token lost, none duplicated beyond the declared overlap."""
+    from hypothesis import assume
+
+    assume(overlap < chunk_tokens)
+    step = chunk_tokens - overlap
+    text = " ".join(tokens)
+    n = len(tokens)
+    n_chunks = 1 if n <= chunk_tokens else -(-(n - chunk_tokens) // step) + 1
+    # pure-python mirror of the Column expression (pinned to the Spark
+    # implementation by the chunk_text oracle); assert the coverage
+    # property of the chunking formula itself
+    chunks = [tokens[i * step : i * step + chunk_tokens] for i in range(n_chunks)]
+    covered = set()
+    for i, c in enumerate(chunks):
+        assert 1 <= len(c) <= chunk_tokens
+        covered.update(range(i * step, i * step + len(c)))
+    assert covered == set(range(n))
+    assert text == " ".join(tokens)
