@@ -315,6 +315,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_lines(multi, "doc_id", "page_text", min_count=3)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing at T=0.5: languages are the
+    sources; sampled proportions ∝ count^0.5, smallest language kept
+    whole, deterministic via key-hash thresholds."""
+    from solrizer_spark.operators.sampling import temperature_mix
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", "doc_id", temperature=0.5, salt="mix")
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -1039,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_labels": q_facet_labels,
         "chunk_text": q_chunk_text,
         "line_dedup": q_line_dedup,
+        "temperature_mix": q_temperature_mix,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1339,6 +1350,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # temperature_mix: T=0.5 -> per-source keep rate
+        # (c_s/c_min)^-0.5, thresholded on the md5-60bit key hash
+        # (same hash as stratified_sample's oracle)
+        "temperature_mix": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+            "r AS (SELECT lang, CAST(floor(least(1.0, "
+            "pow(n::DOUBLE / (SELECT min(n) FROM c), -0.5)) * 1000000) AS BIGINT) "
+            "AS cut FROM c) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 15))"
+            "::UBIGINT % 1000000 < cut"
+        ),
         "line_dedup": (
             "WITH d AS (SELECT doc_id, 'SHARED COOKIE BANNER' || chr(10) || text "
             "|| chr(10) || 'footer-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "

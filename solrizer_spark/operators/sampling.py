@@ -53,6 +53,52 @@ def stratified_hash_sample(
     return df.where(hash_bucket_100(key_col, salt) < rate)
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    temperature: float = 0.7,
+    salt: str = "",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-weighted source rebalancing (the multilingual-LM
+    mixing rule): keep source *s* at rate ``(c_s/c_min)^(T-1)`` so the
+    sampled corpus has source proportions ∝ ``c_s^T`` — ``T=1`` keeps
+    everything (natural distribution), ``T→0`` equalizes sources, with
+    the smallest source always kept whole. Deterministic (key-hash
+    thresholding, rerun/resume-stable, SQL-oracle-checkable), two
+    passes: a count aggregate whose result is a per-source dim (rows =
+    #sources, so the single-partition window over it and the broadcast
+    join back are both trivially cheap at any corpus size)."""
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError(f"temperature must be in [0, 1], got {temperature}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy()  # over the tiny per-source dim only
+    rates = (
+        counts.withColumn("_cmin", F.min("_c").over(w))
+        .withColumn(
+            "_cut",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.pow(F.col("_c") / F.col("_cmin"), F.lit(temperature - 1.0)),
+                )
+                * buckets
+            ).cast("long"),
+        )
+        .select(source_col, "_cut")
+    )
+    key = F.col(key_col).cast("string")
+    bucket = md5_hash60(F.concat(key, F.lit(salt))) % buckets
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(bucket < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_col: str,

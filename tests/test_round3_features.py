@@ -313,3 +313,38 @@ def test_remove_repeated_lines_order_preserved(spark):
            for r in remove_repeated_lines(df, min_count=3).collect()}
     # DUP occurs 4x corpus-wide -> dropped; original order kept
     assert out[1] == "z last\na first\nm middle"
+
+
+def test_temperature_mix_proportions(spark):
+    from solrizer_spark.operators.sampling import temperature_mix
+
+    # 3 sources with counts 900/90/10: T=0 equalizes expectations to
+    # ~10 each; smallest source always kept whole; T=1 keeps all
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "big")
+        .when(F.col("id") < 990, "mid")
+        .otherwise("small")
+        .alias("src"),
+    )
+    t1 = temperature_mix(df, "src", "doc_id", temperature=1.0)
+    assert t1.count() == 1000
+
+    t0 = temperature_mix(df, "src", "doc_id", temperature=0.0)
+    by = {r["src"]: r["n"] for r in t0.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["small"] == 10  # smallest kept whole
+    assert 2 <= by["mid"] <= 25 and 2 <= by["big"] <= 25  # ~10 each in expectation
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix(df, "src", "doc_id", temperature=1.5)
+
+
+def test_temperature_mix_deterministic(spark):
+    from solrizer_spark.operators.sampling import temperature_mix
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("src")
+    )
+    a = sorted(r["doc_id"] for r in temperature_mix(df, "src", "doc_id", 0.5).collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, "src", "doc_id", 0.5).collect())
+    assert a == b and len(a) > 0
