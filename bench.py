@@ -137,6 +137,10 @@ def main() -> None:
         "ann_bruteforce",
         "text_stats",
         "lang_facet_counts",
+        "facet_labels",
+        "chunk_text",
+        "line_dedup",
+        "temperature_mix",
     ]:
         runs = []
         if name in iterative:
