@@ -325,6 +325,31 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(docs, "lang", "doc_id", temperature=0.5, salt="mix")
 
 
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side outlink extraction + host-graph edge derivation:
+    quoted hrefs via regexp_extract_all (double- then single-quoted),
+    absolute links reduced to distinct registered domains (PSL
+    3-label case included via .co.uk)."""
+    from solrizer_spark.functions.urls import extract_outlinks, outlink_domains
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 9).cast("string")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> <a href=\'/about\'>A</a></nav>'),
+        F.lit('<p><a class="x" href="https://ex'), m, F.lit(".co.uk/p?id="), did,
+        F.lit('">link</a></p><a href="https://site'), m,
+        F.lit('.com/q">2</a></body></html>'),
+    )
+    links = extract_outlinks(html)
+    return docs.select(
+        "doc_id",
+        F.array_join(links, "|").alias("links"),
+        F.size(links).cast("long").alias("n_links"),
+        F.array_join(outlink_domains(html), "|").alias("domains"),
+    )
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -1050,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "line_dedup": q_line_dedup,
         "temperature_mix": q_temperature_mix,
+        "outlinks": q_outlinks,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1350,6 +1376,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # outlinks: the expected hrefs/domains are stated directly (the
+        # oracle does not replay the regex), doubles before singles
+        "outlinks": (
+            "SELECT doc_id, "
+            "'/|https://ex' || m || '.co.uk/p?id=' || doc_id || "
+            "'|https://site' || m || '.com/q|/about' AS links, "
+            "CAST(4 AS BIGINT) AS n_links, "
+            "'ex' || m || '.co.uk|site' || m || '.com' AS domains "
+            "FROM (SELECT doc_id, CAST(doc_id % 9 AS VARCHAR) AS m FROM documents)"
+        ),
         # temperature_mix: T=0.5 -> per-source keep rate
         # (c_s/c_min)^-0.5, thresholded on the md5-60bit key hash
         # (same hash as stratified_sample's oracle)

@@ -115,6 +115,37 @@ def normalize_url(url: Column | str) -> Column:
     return F.when(scheme == "", raw).otherwise(built)
 
 
+def extract_outlinks(html: Column | str) -> Column:
+    """``href`` values of anchor tags, as an array — the webgraph
+    primitive (outlink edges, anchor-target harvesting) — extracted
+    with a JVM-side ``regexp_extract_all`` so a 10^12-page link sweep
+    never crosses into Python. Heuristic by design (documented): a
+    quoted-attribute regex, not a DOM parse — matches double- then
+    single-quoted hrefs in document order (all double-quoted first;
+    callers needing exact interleaving should extend the kernel).
+    Accepts the pages table's binary ``html`` (cast = UTF-8 decode) or
+    a string column."""
+    col = F.col(html) if isinstance(html, str) else html
+    col = col.cast("string")
+    double_q = F.regexp_extract_all(col, F.lit(r'<a\s[^>]*href\s*=\s*"([^"]*)"'), 1)
+    single_q = F.regexp_extract_all(col, F.lit(r"<a\s[^>]*href\s*=\s*'([^']*)'"), 1)
+    return F.concat(double_q, single_q)
+
+
+def outlink_domains(html: Column | str) -> Column:
+    """Distinct registered domains (eTLD+1) of a page's absolute
+    http(s) outlinks — the per-page edge list of the host-level web
+    graph, ready for an explode + groupBy degree count."""
+    links = extract_outlinks(html)
+    absolute = F.filter(
+        links, lambda u: u.startswith("http://") | u.startswith("https://")
+    )
+    # single-param lambda, NOT the bare function: registered_domain's
+    # optional second parameter would be bound to the array INDEX by
+    # pyspark's higher-order-function arity inspection
+    return F.array_distinct(F.transform(absolute, lambda u: registered_domain(u)))
+
+
 def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):
     """Drop rows whose registered domain (eTLD+1) appears in a
     blocklist table — the standard crawl-hygiene step (spam/adult/

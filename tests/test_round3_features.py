@@ -348,3 +348,28 @@ def test_temperature_mix_deterministic(spark):
     a = sorted(r["doc_id"] for r in temperature_mix(df, "src", "doc_id", 0.5).collect())
     b = sorted(r["doc_id"] for r in temperature_mix(df, "src", "doc_id", 0.5).collect())
     assert a == b and len(a) > 0
+
+
+def test_extract_outlinks(spark):
+    from solrizer_spark.functions.urls import extract_outlinks, outlink_domains
+
+    html = (
+        b'<html><a href="https://a.example.co.uk/x">1</a>'
+        b"<a rel=nofollow href='/relative'>2</a>"
+        b'<a href="https://a.example.co.uk/y">dup domain</a>'
+        b'<a href="mailto:x@y.z">mail</a>'
+        b"<p>no <b>links</b> here</p></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    row = df.select(
+        extract_outlinks("html").alias("links"),
+        outlink_domains("html").alias("domains"),
+    ).collect()[0]
+    assert row["links"] == [
+        "https://a.example.co.uk/x",
+        "https://a.example.co.uk/y",
+        "mailto:x@y.z",
+        "/relative",
+    ]
+    # absolute http(s) only, eTLD+1, deduped
+    assert row["domains"] == ["example.co.uk"]
