@@ -350,6 +350,21 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear model scoring at scan time: the
+    oracle re-derives each bucket's weight arithmetically (weights[i]
+    = ((i*37)%101 − 50)/100) instead of replaying the array lookup, so
+    the two computations are independent. All weights are exact
+    hundredths ⇒ round(·,6) is insensitive to FP summation order."""
+    from solrizer_spark.functions.text_stats import hashed_linear_score
+
+    weights = [((i * 37) % 101 - 50) / 100.0 for i in range(256)]
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", hashed_linear_score("text", weights, bias=0.25).alias("score")
+    )
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -1076,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "temperature_mix": q_temperature_mix,
         "outlinks": q_outlinks,
+        "model_score": q_model_score,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1376,6 +1392,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # model_score: weight per token bucket re-derived arithmetically
+        "model_score": (
+            "SELECT doc_id, round(0.25 + sum(w), 6) AS score FROM ("
+            "SELECT doc_id, "
+            "(CAST((('0x' || substr(md5(t), 1, 15))::UBIGINT % 256) * 37 AS BIGINT) "
+            "% 101 - 50) / 100.0 AS w "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents)) GROUP BY doc_id"
+        ),
         # outlinks: the expected hrefs/domains are stated directly (the
         # oracle does not replay the regex), doubles before singles
         "outlinks": (

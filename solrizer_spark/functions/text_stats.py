@@ -202,3 +202,33 @@ def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
     return F.round(
         F.least(folded["best"].cast("double") * n / F.size(toks), F.lit(1.0)), 6
     )
+
+
+def hashed_linear_score(
+    text: Column | str, weights: list[float], bias: float = 0.0
+) -> Column:
+    """fastText-style hashed bag-of-words linear model score, as one
+    JVM-side fold: each token hashes (md5-60bit, DuckDB-reproducible)
+    into a bucket of the ``weights`` table and the score is
+    ``bias + Σ weights[bucket(token)]`` — the standard shape of a
+    learned quality/toxicity/language filter applied at scan time to
+    10^12 docs with zero Python and zero shuffle. ``weights`` is the
+    trained vector (any length; it ships as one array literal in the
+    plan). Rounded to 6 dp so equal logical scores compare equal
+    across engines regardless of FP summation order."""
+    from solrizer_spark.operators.dedup import md5_hash60
+
+    col = F.col(text) if isinstance(text, str) else text
+    n = len(weights)
+    if n == 0:
+        raise ValueError("weights must be non-empty")
+    table = F.array(*[F.lit(float(w)) for w in weights])
+    return F.round(
+        F.aggregate(
+            F.split(col, " "),
+            F.lit(float(bias)),
+            lambda acc, t: acc
+            + F.element_at(table, ((md5_hash60(t) % n) + 1).cast("int")),
+        ),
+        6,
+    )

@@ -373,3 +373,24 @@ def test_extract_outlinks(spark):
     ]
     # absolute http(s) only, eTLD+1, deduped
     assert row["domains"] == ["example.co.uk"]
+
+
+def test_hashed_linear_score(spark):
+    from solrizer_spark.functions.text_stats import hashed_linear_score
+    from solrizer_spark.operators.dedup import md5_hash60  # noqa: F401
+
+    import hashlib
+
+    weights = [0.5 if i % 2 == 0 else -0.25 for i in range(16)]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 16
+
+    text = "alpha beta gamma alpha"
+    expected = round(1.0 + sum(weights[bucket(t)] for t in text.split(" ")), 6)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(hashed_linear_score("t", weights, bias=1.0).alias("s")).collect()[0]["s"]
+    assert got == expected
+
+    with pytest.raises(ValueError, match="non-empty"):
+        hashed_linear_score("t", [])
