@@ -141,6 +141,8 @@ def main() -> None:
         "chunk_text",
         "line_dedup",
         "temperature_mix",
+        "outlinks",
+        "model_score",
     ]:
         runs = []
         if name in iterative:
