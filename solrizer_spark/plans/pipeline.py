@@ -561,19 +561,35 @@ def run_model_chains(
     Catalyst sees N filtered branches over one cached scan; each
     branch is its own WholeStageCodegen pipeline. Models not named in
     ``chains`` take the ``__default__`` chain.
+
+    ``conf['per_model']`` holds per-model stage-config overrides
+    (merged over the shared conf for that model's branch) — the
+    analog of the reference's per-model faceter/indexer selection
+    (indexers.yml + the per-model faceter ``match`` arms): e.g.
+    ``{"per_model": {"html": {"faceters": ["language", "creator"]}}}``
+    runs the creator faceter only on html-routed rows.
     """
     chains = chains or DEFAULT_MODEL_CHAINS
     conf = conf or {}
-    extracted = STAGES["extract"](df, conf)
+    per_model: dict = conf.get("per_model", {})
+
+    def conf_for(model: str) -> dict:
+        override = per_model.get(model)
+        base = {k: v for k, v in conf.items() if k != "per_model"}
+        if override:
+            base.update(override)
+        return base
+
+    extracted = STAGES["extract"](df, conf_for("__extract__"))
     named = {k: v for k, v in chains.items() if k != "__default__"}
     default_chain = chains.get("__default__")
     branches = []
     for model, names in named.items():
         branch = extracted.where(F.col(route_col) == model)
-        branches.append(build_pipeline(names, conf)(branch))
+        branches.append(build_pipeline(names, conf_for(model))(branch))
     if default_chain is not None:
         rest = extracted.where(~F.col(route_col).isin(*named.keys()))
-        branches.append(build_pipeline(default_chain, conf)(rest))
+        branches.append(build_pipeline(default_chain, conf_for("__default__"))(rest))
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)

@@ -394,3 +394,32 @@ def test_hashed_linear_score(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         hashed_linear_score("t", [])
+
+
+def test_per_model_conf_overrides(spark, corpus_dir):
+    """conf['per_model'] selects faceters per content model — the
+    indexers.yml analog: html rows get the domain faceter, tagged rows
+    only language; rows from the other branch carry nulls after the
+    unionByName merge."""
+    from solrizer_spark.plans.pipeline import run_model_chains
+    from solrizer_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, f"{corpus_dir}/pages")
+    out = run_model_chains(
+        pages,
+        {
+            "html": ["content_model", "facets", "doc"],
+            "__default__": ["content_model", "doc"],
+        },
+        conf={
+            "faceters": ["language"],
+            "per_model": {"html": {"faceters": ["language", "domain"]}},
+        },
+    )
+    rows = out.select("route", "language__facet", "domain__facet").collect()
+    html_rows = [r for r in rows if r["route"] == "html"]
+    other_rows = [r for r in rows if r["route"] != "html"]
+    assert html_rows and other_rows
+    assert all(r["domain__facet"] is not None for r in html_rows)
+    # non-html branch never ran the facets stage -> nulls via unionByName
+    assert all(r["domain__facet"] is None for r in other_rows)
