@@ -122,13 +122,14 @@ def extract_outlinks(html: Column | str) -> Column:
     never crosses into Python. Heuristic by design (documented): a
     quoted-attribute regex, not a DOM parse — matches double- then
     single-quoted hrefs in document order (all double-quoted first;
-    callers needing exact interleaving should extend the kernel).
+    callers needing exact interleaving should extend the kernel),
+    case-insensitively (legacy archives are full of ``<A HREF=…>``).
     Accepts the pages table's binary ``html`` (cast = UTF-8 decode) or
     a string column."""
     col = F.col(html) if isinstance(html, str) else html
     col = col.cast("string")
-    double_q = F.regexp_extract_all(col, F.lit(r'<a\s[^>]*href\s*=\s*"([^"]*)"'), 1)
-    single_q = F.regexp_extract_all(col, F.lit(r"<a\s[^>]*href\s*=\s*'([^']*)'"), 1)
+    double_q = F.regexp_extract_all(col, F.lit(r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"'), 1)
+    single_q = F.regexp_extract_all(col, F.lit(r"(?i)<a\s[^>]*href\s*=\s*'([^']*)'"), 1)
     return F.concat(double_q, single_q)
 
 

@@ -369,21 +369,35 @@ def remove_repeated_lines(
     Dataflow: posexplode lines → global line count (one map-side-
     combinable shuffle; the combiner collapses each partition's
     repeats, so heavy boilerplate lines cost one row per partition on
-    the wire) → hash join counts back onto the exploded lines →
-    per-doc reassembly in original order (shuffle keyed by doc id).
-    Three shuffles total, all on uniform keys; no driver-side state.
-    At 10^12 docs the line-count table is the big intermediate — it
-    shrinks ~linearly with dedup effectiveness and never needs to be
-    broadcast."""
+    the wire) → the count table is reduced to the HOT-LINE set (count
+    ≥ min_count — the boilerplate vocabulary, small by construction:
+    it shrinks as min_count grows) and broadcast-left-joined onto the
+    exploded lines → per-doc reassembly in original order (shuffle
+    keyed by doc id). Two shuffles on uniform keys, and — critically —
+    no shuffle keyed on line text: a cookie banner occurring in most
+    of 10^12 docs would make a line-keyed join the most skewed key
+    imaginable, whereas the broadcast probe is per-row and skew-free.
+    (If the hot-line set ever exceeds broadcast size, raise min_count
+    or pre-filter candidate lines; the count aggregate itself stays
+    map-side-combinable either way.)
+
+    Rows with a NULL text column pass through with ``cleaned_text``
+    null and zero counters (a failed-extraction row is not "all
+    boilerplate" — it keeps its distinct shape)."""
     import re
 
-    lines = df.select(
+    lines = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("_idx", "_line"),
     )
-    counts = lines.groupBy("_line").agg(F.count(F.lit(1)).alias("_n"))
-    tagged = lines.join(counts, "_line").withColumn(
-        "_keep", F.col("_n") < F.lit(min_count)
+    hot = (
+        lines.groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("_line", F.lit(True).alias("_hot"))
+    )
+    tagged = lines.join(F.broadcast(hot), "_line", "left").withColumn(
+        "_keep", F.col("_hot").isNull()
     )
     per_doc = tagged.groupBy("_id").agg(
         F.concat_ws(
@@ -400,8 +414,17 @@ def remove_repeated_lines(
         F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
         F.sum((~F.col("_keep")).cast("long")).alias("n_lines_dropped"),
     )
-    return per_doc.select(
-        F.col("_id").alias(id_col), "cleaned_text", "n_lines_kept", "n_lines_dropped"
+    # every input doc comes back: null-text docs re-attach with null
+    # cleaned_text and zero counters
+    all_ids = df.select(F.col(id_col).alias("_id"))
+    return (
+        all_ids.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cleaned_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")).alias("n_lines_kept"),
+            F.coalesce(F.col("n_lines_dropped"), F.lit(0).cast("long")).alias("n_lines_dropped"),
+        )
     )
 
 

@@ -16,12 +16,18 @@ from pyspark.sql import functions as F
 from solrizer_spark.operators.dedup import md5_hash60
 
 
-def hash_bucket_100(key: Column | str, salt: str = "") -> Column:
-    """Stable bucket 0-99 from a key column: md5-derived 60-bit int
-    mod 100 (DuckDB-parity: ``('0x'||substr(md5(key||salt),1,15))
-    ::UBIGINT % 100``)."""
+def hash_bucket(key: Column | str, buckets: int, salt: str = "") -> Column:
+    """Stable bucket 0..buckets-1 from a key column: md5-derived
+    60-bit int mod ``buckets`` (DuckDB-parity:
+    ``('0x'||substr(md5(key||salt),1,15))::UBIGINT % buckets``)."""
     col = F.col(key) if isinstance(key, str) else key
-    return (md5_hash60(F.concat(col, F.lit(salt))) % 100).cast("int")
+    return md5_hash60(F.concat(col.cast("string"), F.lit(salt))) % buckets
+
+
+def hash_bucket_100(key: Column | str, salt: str = "") -> Column:
+    """Stable bucket 0-99 (the percent-rate convention used by the
+    sampling operators)."""
+    return hash_bucket(key, 100, salt).cast("int")
 
 
 def hash_sample(
@@ -69,12 +75,18 @@ def temperature_mix(
     thresholding, rerun/resume-stable, SQL-oracle-checkable), two
     passes: a count aggregate whose result is a per-source dim (rows =
     #sources, so the single-partition window over it and the broadcast
-    join back are both trivially cheap at any corpus size)."""
+    join back are both trivially cheap at any corpus size).
+
+    Rows whose source or key is NULL are excluded from BOTH the count
+    dim and the output (an unlabeled row has no defined mixing rate —
+    filter or label upstream); null sources in particular must not
+    participate as a "smallest source" and skew every other rate."""
     if not 0.0 <= temperature <= 1.0:
         raise ValueError(f"temperature must be in [0, 1], got {temperature}")
     from pyspark.sql import Window
 
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
+    base = df.where(F.col(source_col).isNotNull() & F.col(key_col).isNotNull())
+    counts = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy()  # over the tiny per-source dim only
     rates = (
         counts.withColumn("_cmin", F.min("_c").over(w))
@@ -90,11 +102,9 @@ def temperature_mix(
         )
         .select(source_col, "_cut")
     )
-    key = F.col(key_col).cast("string")
-    bucket = md5_hash60(F.concat(key, F.lit(salt))) % buckets
     return (
-        df.join(F.broadcast(rates), source_col)
-        .where(bucket < F.col("_cut"))
+        base.join(F.broadcast(rates), source_col)
+        .where(hash_bucket(key_col, buckets, salt) < F.col("_cut"))
         .drop("_cut")
     )
 

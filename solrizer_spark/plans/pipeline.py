@@ -572,6 +572,15 @@ def run_model_chains(
     chains = chains or DEFAULT_MODEL_CHAINS
     conf = conf or {}
     per_model: dict = conf.get("per_model", {})
+    # fail fast on a typo'd model name: a silently ignored override
+    # would run the wrong faceters (same convention as unknown stages)
+    valid = set(chains) | {"__default__", "__extract__"}
+    unknown = [m for m in per_model if m not in valid]
+    if unknown:
+        raise ValueError(
+            f"per_model override(s) for unknown model(s) {unknown}; "
+            f"chains define {sorted(valid)}"
+        )
 
     def conf_for(model: str) -> dict:
         override = per_model.get(model)

@@ -30,37 +30,11 @@ def read_pages(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(source)
     if fmt == "warc":
-        from pyspark.sql import functions as F
+        from solrizer_spark.sources.warc import read_warc, warc_pages_projection
 
-        from solrizer_spark.sources.warc import read_warc
-
-        out = read_warc(spark, source)
-        # crawl hygiene at the ingest boundary: only successful (2xx)
-        # page-like responses become pages rows — real archives carry
-        # 404/500 bodies, JSON/JS/images, robots fetches; letting those
-        # through would pollute extraction/dedup/stats downstream. A
-        # missing content-type (common in old crawls) passes; use
-        # read_warc() directly for the unfiltered record stream.
-        html_like = F.col("content_type").isNull() | F.col("content_type").isin(
-            "text/html", "application/xhtml+xml", "text/plain"
-        )
-        ok = (
-            F.col("url").isNotNull()
-            & F.col("parse_error").isNull()
-            & (F.col("http_status") >= 200)
-            & (F.col("http_status") < 300)
-            & html_like
-        )
-        # pages-schema projection: the extraction chain consumes
-        # (url, warc_ts, html, text, lang); text/lang are unknown at
-        # ingest (the chain derives them)
-        return out.where(ok).select(
-            "url",
-            "warc_ts",
-            "html",
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("lang"),
-        )
+        # hygiene filter + pages projection shared with the streaming
+        # path; use read_warc() directly for the unfiltered records
+        return warc_pages_projection(read_warc(spark, source))
     return spark.read.parquet(source)
 
 

@@ -187,43 +187,82 @@ def parse_warc(data: bytes, source_file: str = "") -> Iterator[dict]:
         }
 
 
-def read_warc(spark: SparkSession, path: str, batch_rows: int = 2000) -> DataFrame:
-    """Read WARC archive(s) into the pages shape via ``binaryFile`` +
-    ``mapInPandas``: one streaming parser per archive, rows emitted in
-    ≤ ``batch_rows`` Arrow batches so peak task memory is one raw
+def _archive_error_row(path_: str, err: Exception) -> dict:
+    cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+    return {
+        **{c: None for c in cols},
+        "source_file": path_,
+        "parse_error": f"archive_error:{type(err).__name__}",
+    }
+
+
+def parse_archives_batched(batches, batch_rows: int = 2000):
+    """The shared ``mapInPandas`` body for batch AND streaming WARC
+    reads: one streaming parser per archive, rows emitted in ≤
+    ``batch_rows`` pandas frames so peak task memory is one raw
     archive (inherent to the binaryFile source) + one batch of parsed
     rows — never the whole decompressed archive plus every row at
     once. Any per-archive parser crash (corrupt gzip, pathological
     bytes) is quarantined as a single ``parse_error='archive_error:*'``
-    row for that file, never a task failure."""
+    row for that file (already-emitted batches are kept), never a
+    task failure."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
     cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+    for pdf in batches:
+        for path_, content in zip(pdf["path"], pdf["content"]):
+            rows: list[dict] = []
+            try:
+                for row in parse_warc(bytes(content), source_file=path_):
+                    rows.append(row)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            except Exception as e:  # one bad archive ≠ a dead job
+                rows.append(_archive_error_row(path_, e))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
-    def _archive_error(path_: str, err: Exception) -> dict:
-        return {
-            **{c: None for c in cols},
-            "source_file": path_,
-            "parse_error": f"archive_error:{type(err).__name__}",
-        }
 
-    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                rows: list[dict] = []
-                try:
-                    for row in parse_warc(bytes(content), source_file=path_):
-                        rows.append(row)
-                        if len(rows) >= batch_rows:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
-                except Exception as e:  # one bad archive ≠ a dead job
-                    rows.append(_archive_error(path_, e))
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+def warc_pages_projection(records: DataFrame) -> DataFrame:
+    """Ingest-boundary hygiene + pages-schema projection, shared by
+    the batch (``read_pages(fmt='warc')``) and streaming
+    (``stream_warc_extract``) paths: only successful (2xx) page-like
+    responses become pages rows — real archives carry 404/500 bodies,
+    JSON/JS/images, robots fetches; letting those through would
+    pollute extraction/dedup/stats downstream. A missing content-type
+    (common in old crawls) passes. text/lang are unknown at ingest
+    (the chain derives them)."""
+    from pyspark.sql import functions as F
 
-    return files.mapInPandas(parse, WARC_PAGES_SCHEMA)
+    html_like = F.col("content_type").isNull() | F.col("content_type").isin(
+        "text/html", "application/xhtml+xml", "text/plain"
+    )
+    ok = (
+        F.col("url").isNotNull()
+        & F.col("parse_error").isNull()
+        & (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & html_like
+    )
+    return records.where(ok).select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def read_warc(spark: SparkSession, path: str, batch_rows: int = 2000) -> DataFrame:
+    """Read WARC archive(s) into the record shape via ``binaryFile`` +
+    ``mapInPandas`` (see :func:`parse_archives_batched` for the memory
+    and quarantine contract)."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        lambda batches: parse_archives_batched(batches, batch_rows),
+        WARC_PAGES_SCHEMA,
+    )
 
 
 def write_warc(records: list[dict], path: str, gzip_members: bool = False) -> None:

@@ -194,12 +194,15 @@ def stream_warc_extract(
     checkpoint — the crawl-drop catch-up pattern: new segments land in
     a bucket, the next run picks up only those). The archive parser is
     the same single-``mapInPandas`` stage as the batch ``read_warc``,
-    with the same 2xx/html-like ingest filter; every field-chain stage
-    is narrow, so the whole plan is stream-safe with no state or
-    watermarks."""
-    from pyspark.sql import functions as F
-
-    from solrizer_spark.sources.warc import WARC_PAGES_SCHEMA, parse_warc
+    with the same bounded-batch memory contract and 2xx/html-like
+    ingest filter (both literally shared code, see
+    ``sources/warc.py``); every field-chain stage is narrow, so the
+    whole plan is stream-safe with no state or watermarks."""
+    from solrizer_spark.sources.warc import (
+        WARC_PAGES_SCHEMA,
+        parse_archives_batched,
+        warc_pages_projection,
+    )
 
     bin_schema = T.StructType(
         [
@@ -216,38 +219,8 @@ def stream_warc_extract(
         .load(archive_glob)
         .select("path", "content")
     )
-
-    def parse(batches):
-        import pandas as pd
-
-        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
-        for pdf in batches:
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    rows = list(parse_warc(bytes(content), source_file=path_))
-                except Exception as e:  # one bad archive ≠ a dead stream
-                    rows = [{**{c: None for c in cols}, "source_file": path_,
-                             "parse_error": f"archive_error:{type(e).__name__}"}]
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    records = files.mapInPandas(parse, WARC_PAGES_SCHEMA)
-    html_like = F.col("content_type").isNull() | F.col("content_type").isin(
-        "text/html", "application/xhtml+xml", "text/plain"
-    )
-    pages = records.where(
-        F.col("url").isNotNull()
-        & F.col("parse_error").isNull()
-        & (F.col("http_status") >= 200)
-        & (F.col("http_status") < 300)
-        & html_like
-    ).select(
-        "url",
-        "warc_ts",
-        "html",
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("string").alias("lang"),
-    )
+    records = files.mapInPandas(parse_archives_batched, WARC_PAGES_SCHEMA)
+    pages = warc_pages_projection(records)
     pipeline = build_pipeline(chain or DEFAULT_CHAIN)
     docs = (
         pipeline(pages)

@@ -423,3 +423,57 @@ def test_per_model_conf_overrides(spark, corpus_dir):
     assert all(r["domain__facet"] is not None for r in html_rows)
     # non-html branch never ran the facets stage -> nulls via unionByName
     assert all(r["domain__facet"] is None for r in other_rows)
+
+
+def test_temperature_mix_null_rows_excluded(spark):
+    """Null sources/keys neither skew rates nor silently survive: the
+    smallest REAL source stays kept-whole."""
+    from solrizer_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(90)]
+        + [(100 + i, "small") for i in range(6)]
+        + [(200, None), (None, "big")],
+        "doc_id long, src string",
+    )
+    out = temperature_mix(df, "src", "doc_id", temperature=0.0)
+    by = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["small"] == 6  # smallest real source kept whole
+    assert None not in by
+
+
+def test_extract_outlinks_case_insensitive(spark):
+    from solrizer_spark.functions.urls import extract_outlinks
+
+    df = spark.createDataFrame(
+        [('<A HREF="https://x.com/1">u</A><a HREF=\'/two\'>l</a>',)], "h string"
+    )
+    got = df.select(extract_outlinks("h").alias("l")).collect()[0]["l"]
+    assert got == ["https://x.com/1", "/two"]
+
+
+def test_remove_repeated_lines_null_text_passthrough(spark):
+    from solrizer_spark.operators.dedup import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "DUP\nkeep me\nDUP"), (2, "DUP\nDUP"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_lines(df, min_count=3).collect()}
+    assert set(out) == {1, 2, 3}  # every input doc comes back
+    assert out[3]["cleaned_text"] is None
+    assert out[3]["n_lines_kept"] == 0 and out[3]["n_lines_dropped"] == 0
+    assert out[1]["cleaned_text"] == "keep me"
+
+
+def test_per_model_unknown_key_fails_fast(spark, corpus_dir):
+    from solrizer_spark.plans.pipeline import run_model_chains
+    from solrizer_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, f"{corpus_dir}/pages")
+    with pytest.raises(ValueError, match="unknown model.*htlm"):
+        run_model_chains(
+            pages,
+            {"html": ["content_model", "doc"], "__default__": ["doc"]},
+            conf={"per_model": {"htlm": {"faceters": ["language"]}}},
+        ).collect()
