@@ -688,6 +688,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction plumbing: payload binary →
+    deterministic 8-dim pseudo-embedding via an Arrow-batched pandas
+    UDF, exploded to (asset, dim, value) rows so the oracle compares
+    doubles bit-for-bit."""
+    from solrizer_spark.operators.multimodal import media_feature_stage
+
+    assets = _media_assets(spark, sf_dir, "image")
+    out = media_feature_stage(assets, dim=8)
+    return out.select(
+        "asset_id", F.posexplode("features").alias("dim_idx", "value")
+    ).select("asset_id", F.col("dim_idx").cast("long").alias("dim_idx"), "value")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video 1→N frame-sampling fan-out via mapInPandas."""
     from solrizer_spark.operators.multimodal import frame_sample_stage
@@ -1092,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "outlinks": q_outlinks,
         "model_score": q_model_score,
+        "media_features": q_media_features,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1392,6 +1407,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # media_features: payload string rebuilt, md5-prefix per (asset, dim)
+        "media_features": (
+            "SELECT doc_id AS asset_id, CAST(u.j AS BIGINT) AS dim_idx, "
+            "CAST(('0x' || substr(md5(p || ':' || u.j), 1, 15))::UBIGINT % 1000 "
+            "AS DOUBLE) / 1000.0 AS value FROM ("
+            "SELECT doc_id, 'IMG1' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 6, '0') "
+            "|| lpad(CAST((doc_id * 7) % 900 + 100 AS VARCHAR), 6, '0') || '3' || text AS p "
+            "FROM documents), unnest(list_transform(generate_series(0, 7), "
+            "j -> {'j': j})) AS t(u)"
+        ),
         # model_score: weight per token bucket re-derived arithmetically
         "model_score": (
             "SELECT doc_id, round(0.25 + sum(w), 6) AS score FROM ("

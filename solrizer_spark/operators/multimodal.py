@@ -175,3 +175,42 @@ def frame_sample_stage(
             yield pd.DataFrame(rows, columns=["asset_id", "frame_index", "frame_fingerprint"])
 
     return df.select("asset_id", payload_col).mapInPandas(sample, out_schema)
+
+
+def pseudo_embedding(data: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature extractor: md5-derived values in
+    [0,1) per dimension — same bytes in → same vector out on any
+    executor, and exactly reproducible in SQL (md5-prefix convention
+    shared with the dedup/sampling oracles). Swap for a real encoder
+    on images with vision/audio libraries."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(data + b":" + str(j).encode()).hexdigest()[:15]
+        out.append((int(h, 16) % 1000) / 1000.0)
+    return out
+
+
+def media_feature_stage(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dim: int = 8,
+    extractor=None,
+) -> DataFrame:
+    """Feature-extraction plumbing (the "feature-extract" step of a
+    multimodal training pipeline): binary payload → fixed-size double
+    vector via an Arrow-batched pandas UDF — batch shape, schema, and
+    null handling are the real thing; the default ``extractor`` is the
+    deterministic :func:`pseudo_embedding` (this image has no
+    vision/audio models — pass a real ``bytes -> list[float]`` encoder
+    on cluster images, e.g. a CLIP/whisper wrapper)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ex = extractor or pseudo_embedding
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def feat_udf(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda p: ex(bytes(p), dim) if p is not None else None)
+
+    return df.withColumn("features", feat_udf(F.col(payload_col)))

@@ -477,3 +477,20 @@ def test_per_model_unknown_key_fails_fast(spark, corpus_dir):
             {"html": ["content_model", "doc"], "__default__": ["doc"]},
             conf={"per_model": {"htlm": {"faceters": ["language"]}}},
         ).collect()
+
+
+def test_media_feature_stage(spark):
+    from solrizer_spark.operators.multimodal import (
+        media_feature_stage,
+        pseudo_embedding,
+    )
+
+    df = spark.createDataFrame([(1, b"IMG1x"), (2, None)], "asset_id long, payload binary")
+    rows = {r["asset_id"]: r["features"] for r in media_feature_stage(df, dim=4).collect()}
+    assert rows[1] == pseudo_embedding(b"IMG1x", 4)
+    assert all(0.0 <= v < 1.0 for v in rows[1]) and len(rows[1]) == 4
+    assert rows[2] is None  # null payload -> null vector, not a crash
+
+    # pluggable extractor
+    out = media_feature_stage(df, dim=2, extractor=lambda b, d: [float(len(b))] * d)
+    assert {r["asset_id"]: r["features"] for r in out.collect()}[1] == [5.0, 5.0]
