@@ -1,0 +1,186 @@
+"""spark-submit entrypoint: corpus curation over an extracted docs table.
+
+    spark-submit --master local[8] curate.py \
+        --input /tmp/out/docs --output /tmp/curated \
+        --ops linededup,normalize,quality,exactdedup,neardedup,chunk
+
+The companion to ``job.py`` (extraction): this runs the
+training-data side of the engine — cleaning, dedup, filtering,
+chunking, mixing — as a composable op pipeline over any table with an
+id column and a text column. Each op is one of the library operators
+(SURVEY.md §2.13/§2.14), so everything here is the oracle-tested code
+path, just wired end-to-end.
+
+Ops (applied in the order given):
+
+* ``normalize``   control-char strip + whitespace collapse
+                  (collapses NEWLINES too — run ``linededup`` BEFORE
+                  it if you need line structure)
+* ``quality``     keep docs with quality_score ≥ --min-quality
+* ``langs``       keep docs whose langid is in --langs
+* ``linededup``   corpus-wide repeated-line removal (C4 rule); docs
+                  left with no lines are dropped
+* ``exactdedup``  keep one doc per identical text (minimum id)
+* ``neardedup``   MinHash-LSH pairs → connected components → keep
+                  each cluster's minimum-id doc
+* ``decontaminate`` drop docs sharing an 8-gram with --benchmark-file
+                  (one benchmark text per line)
+* ``scrub``       PII redaction (emails/IPv4/phones)
+* ``mix``         temperature-weighted source rebalancing
+                  (--mix-source-col, --mix-temperature)
+* ``chunk``       split into --chunk-tokens windows with
+                  --chunk-overlap carry (emits chunk rows)
+
+Per-op row counts are collected by default (one count job per op —
+fine at curation scale; ``--stats none`` for giant runs where the
+sink row count suffices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solrizer_spark.session import get_spark
+
+KNOWN_OPS = (
+    "normalize", "quality", "langs", "linededup", "exactdedup",
+    "neardedup", "decontaminate", "scrub", "mix", "chunk",
+)
+
+
+def apply_op(df: DataFrame, op: str, args, id_col: str, text_col: str) -> DataFrame:
+    if op == "normalize":
+        from solrizer_spark.functions.scrub import normalize_text
+
+        return df.withColumn(text_col, normalize_text(text_col))
+    if op == "quality":
+        from solrizer_spark.functions.text_stats import quality_score
+
+        return df.where(quality_score(text_col) >= args.min_quality)
+    if op == "langs":
+        from solrizer_spark.functions.text_stats import langid
+
+        keep = [s.strip() for s in args.langs.split(",") if s.strip()]
+        return df.where(langid(text_col).isin(keep))
+    if op == "linededup":
+        from solrizer_spark.operators.dedup import remove_repeated_lines
+
+        cleaned = remove_repeated_lines(
+            df, id_col=id_col, text_col=text_col, min_count=args.line_min_count
+        ).where(F.col("n_lines_kept") > 0)
+        return (
+            df.drop(text_col)
+            .join(cleaned.select(id_col, "cleaned_text"), id_col)
+            .withColumnRenamed("cleaned_text", text_col)
+        )
+    if op == "exactdedup":
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if op == "neardedup":
+        from solrizer_spark.operators.dedup import (
+            connected_components,
+            dedup_keep_canonical,
+            minhash_lsh_pairs,
+        )
+
+        df = df.persist()
+        pairs = minhash_lsh_pairs(
+            df.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=args.near_threshold,
+        )
+        comps = connected_components(pairs, algorithm=args.cc_algorithm)
+        return dedup_keep_canonical(df, comps, id_col=id_col)
+    if op == "decontaminate":
+        from solrizer_spark.operators.decontam import flag_contaminated
+
+        spark = df.sparkSession
+        with open(args.benchmark_file, encoding="utf-8") as fh:
+            rows = [(line.rstrip("\n"),) for line in fh if line.strip()]
+        bench = spark.createDataFrame(rows, "text string")
+        flagged = flag_contaminated(df.select(id_col, text_col), bench,
+                                    id_col=id_col, text_col=text_col)
+        dirty = flagged.where(F.col("contaminated")).select(id_col)
+        return df.join(dirty, id_col, "left_anti")
+    if op == "scrub":
+        from solrizer_spark.functions.scrub import scrub_pii
+
+        return df.withColumn(text_col, scrub_pii(text_col))
+    if op == "mix":
+        from solrizer_spark.operators.sampling import temperature_mix
+
+        return temperature_mix(
+            df, args.mix_source_col, id_col, temperature=args.mix_temperature
+        )
+    if op == "chunk":
+        from solrizer_spark.operators.sampling import chunk_text
+
+        return chunk_text(
+            df, text_col, chunk_tokens=args.chunk_tokens, overlap=args.chunk_overlap
+        )
+    raise ValueError(f"unknown op {op!r}")
+
+
+def run_curate(spark, args) -> dict:
+    ops = [o.strip() for o in args.ops.split(",") if o.strip()]
+    unknown = [o for o in ops if o not in KNOWN_OPS]
+    if unknown:
+        raise ValueError(f"unknown op(s) {unknown}; available: {list(KNOWN_OPS)}")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.text_col):
+        if col not in df.columns:
+            raise ValueError(f"input is missing column {col!r} (has {sorted(df.columns)})")
+    stats: dict = {"ops": []}
+    if args.stats == "full":
+        stats["rows_in"] = df.count()
+    for op in ops:
+        df = apply_op(df, op, args, args.id_col, args.text_col)
+        entry = {"op": op}
+        if args.stats == "full":
+            entry["rows_after"] = df.count()
+        stats["ops"].append(entry)
+    df.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    stats["rows_out"] = written.count()
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="docs parquet (any table with id+text columns)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--ops", required=True, help=f"comma list from {','.join(KNOWN_OPS)}")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="extracted_text")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--langs", default="en")
+    ap.add_argument("--line-min-count", type=int, default=3)
+    ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--cc-algorithm", choices=["label_propagation", "star"],
+                    default="label_propagation")
+    ap.add_argument("--benchmark-file", default=None)
+    ap.add_argument("--mix-source-col", default="lang")
+    ap.add_argument("--mix-temperature", type=float, default=0.7)
+    ap.add_argument("--chunk-tokens", type=int, default=512)
+    ap.add_argument("--chunk-overlap", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--stats", choices=["full", "none"], default="full")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="solrizer-curate", cpus=args.cpus)
+    print(json.dumps(run_curate(spark, args)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""curate.py — the corpus-curation pipeline surface, end-to-end."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _args(**kw) -> argparse.Namespace:
+    base = dict(
+        input=None, output=None, ops=None, id_col="doc_id", text_col="text",
+        min_quality=0.5, langs="en", line_min_count=3, near_threshold=0.5,
+        cc_algorithm="label_propagation", benchmark_file=None,
+        mix_source_col="lang", mix_temperature=0.7, chunk_tokens=8,
+        chunk_overlap=2, cpus=None, stats="full",
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture()
+def docs_table(spark, tmp_path):
+    """A messy corpus: boilerplate lines, exact dupes, near dupes, a
+    junk doc, an email, and a benchmark-contaminated doc."""
+    body = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in the warm sun for a while"
+    )
+    rows = [
+        (1, "BANNER\n" + body + "\nFOOTER", "en"),
+        (2, "BANNER\n" + body + " extra tail words here\nFOOTER", "en"),  # near-dup of 1
+        (3, "BANNER\n" + body + "\nFOOTER", "en"),  # exact dup of 1 (post line-dedup)
+        (4, "BANNER\nthe unrelated document is about a completely different "
+            "topic with its own set of many words to keep quality high\nFOOTER", "en"),
+        (5, "BANNER\nx\nFOOTER", "en"),  # junk: too short -> quality drop
+        (6, "BANNER\ncontact me at bob@example.com for all of the further "
+            "details about this and that topic of interest\nFOOTER", "en"),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(path)
+    return path
+
+
+def test_curate_pipeline(spark, docs_table, tmp_path):
+    from curate import run_curate
+
+    out = str(tmp_path / "curated")
+    stats = run_curate(
+        spark,
+        _args(
+            input=docs_table,
+            output=out,
+            ops="linededup,normalize,quality,scrub,exactdedup,neardedup",
+        ),
+    )
+    assert stats["rows_in"] == 6
+    result = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # BANNER/FOOTER (6 occurrences each) removed by linededup;
+    # doc 5 dropped by quality; doc 3 collapsed into 1 by exactdedup;
+    # doc 2 collapsed into 1 by neardedup; doc 6 scrubbed
+    assert set(result) == {1, 4, 6}
+    assert "BANNER" not in result[1] and "FOOTER" not in result[1]
+    assert "[EMAIL]" in result[6] and "bob@example.com" not in result[6]
+    ops_run = [e["op"] for e in stats["ops"]]
+    assert ops_run == ["linededup", "normalize", "quality", "scrub",
+                       "exactdedup", "neardedup"]
+    assert stats["rows_out"] == 3
+
+
+def test_curate_chunk_and_unknown_op(spark, docs_table, tmp_path):
+    from curate import run_curate
+
+    out = str(tmp_path / "chunks")
+    stats = run_curate(
+        spark, _args(input=docs_table, output=out, ops="linededup,chunk")
+    )
+    chunks = spark.read.parquet(out)
+    assert stats["rows_out"] == chunks.count() > 6  # fan-out happened
+    assert {"chunk_index", "chunk", "chunk_n_tokens"} <= set(chunks.columns)
+    assert chunks.agg(F.max("chunk_n_tokens")).collect()[0][0] <= 8
+
+    with pytest.raises(ValueError, match="unknown op"):
+        run_curate(spark, _args(input=docs_table, output=out, ops="nope"))
+    with pytest.raises(ValueError, match="missing column"):
+        run_curate(spark, _args(input=docs_table, output=out, ops="normalize",
+                                text_col="absent"))
+
+
+def test_curate_decontaminate(spark, docs_table, tmp_path):
+    from curate import run_curate
+
+    bench = tmp_path / "bench.txt"
+    bench.write_text(
+        "the quick brown fox jumps over the lazy dog and then some\n",
+        encoding="utf-8",
+    )
+    out = str(tmp_path / "decon")
+    run_curate(
+        spark,
+        _args(input=docs_table, output=out, ops="decontaminate",
+              benchmark_file=str(bench)),
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # docs 1/2/3 share the fox 8-gram with the benchmark -> dropped
+    assert kept == {4, 5, 6}
