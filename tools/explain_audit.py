@@ -129,6 +129,16 @@ def main() -> int:
         f"exchanges={p9.count('Exchange')} python={p9.count('EvalPython')}",
     )
 
+    # 9b. scan-time quality/link operators stay shuffle-free and
+    # Python-free: hashed linear model scoring + outlink extraction
+    p9b = plan_of(em.q_model_score(spark, sf))
+    p9c = plan_of(em.q_outlinks(spark, sf))
+    check(
+        "model_score_outlinks_scan_time",
+        all("Exchange" not in p and "EvalPython" not in p for p in (p9b, p9c)),
+        f"model_score ex={p9b.count('Exchange')} outlinks ex={p9c.count('Exchange')}",
+    )
+
     # 10. WARC ingestion: exactly one Python crossing (the mapInPandas
     # archive parser), no shuffle before the pages projection
     import tempfile
