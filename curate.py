@@ -53,7 +53,9 @@ KNOWN_OPS = (
 )
 
 
-def apply_op(df: DataFrame, op: str, args, id_col: str, text_col: str) -> DataFrame:
+def apply_op(
+    df: DataFrame, op: str, args, id_col: str, text_col: str, persisted: list
+) -> DataFrame:
     if op == "normalize":
         from solrizer_spark.functions.scrub import normalize_text
 
@@ -79,7 +81,11 @@ def apply_op(df: DataFrame, op: str, args, id_col: str, text_col: str) -> DataFr
             .withColumnRenamed("cleaned_text", text_col)
         )
     if op == "exactdedup":
-        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+        # null-text rows must not collapse into one "duplicate" group:
+        # key them by their own id instead (same guard as job.py
+        # --dedup exact)
+        key = F.md5(F.coalesce(F.col(text_col), F.col(id_col).cast("string")))
+        w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -93,8 +99,13 @@ def apply_op(df: DataFrame, op: str, args, id_col: str, text_col: str) -> DataFr
         )
 
         df = df.persist()
+        persisted.append(df)
+        # null-text docs are in no cluster and pass through the
+        # left-anti keep — excluding them from pair generation also
+        # avoids the degenerate all-null-signature LSH bucket (same
+        # guard as job.py --dedup near)
         pairs = minhash_lsh_pairs(
-            df.select(id_col, text_col),
+            df.where(F.col(text_col).isNotNull()).select(id_col, text_col),
             id_col=id_col,
             text_col=text_col,
             threshold=args.near_threshold,
@@ -136,6 +147,9 @@ def run_curate(spark, args) -> dict:
     unknown = [o for o in ops if o not in KNOWN_OPS]
     if unknown:
         raise ValueError(f"unknown op(s) {unknown}; available: {list(KNOWN_OPS)}")
+    if "decontaminate" in ops and not args.benchmark_file:
+        # fail BEFORE the expensive upstream ops run, not at open(None)
+        raise ValueError("op 'decontaminate' requires --benchmark-file")
     df = spark.read.parquet(args.input)
     for col in (args.id_col, args.text_col):
         if col not in df.columns:
@@ -143,13 +157,16 @@ def run_curate(spark, args) -> dict:
     stats: dict = {"ops": []}
     if args.stats == "full":
         stats["rows_in"] = df.count()
+    persisted: list = []
     for op in ops:
-        df = apply_op(df, op, args, args.id_col, args.text_col)
+        df = apply_op(df, op, args, args.id_col, args.text_col, persisted)
         entry = {"op": op}
         if args.stats == "full":
             entry["rows_after"] = df.count()
         stats["ops"].append(entry)
     df.write.mode("overwrite").parquet(args.output)
+    for frame in persisted:  # release caches pinned by dedup ops
+        frame.unpersist()
     written = spark.read.parquet(args.output)
     stats["rows_out"] = written.count()
     return stats

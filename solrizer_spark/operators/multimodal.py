@@ -203,8 +203,10 @@ def media_feature_stage(
     vector via an Arrow-batched pandas UDF — batch shape, schema, and
     null handling are the real thing; the default ``extractor`` is the
     deterministic :func:`pseudo_embedding` (this image has no
-    vision/audio models — pass a real ``bytes -> list[float]`` encoder
-    on cluster images, e.g. a CLIP/whisper wrapper)."""
+    vision/audio models — pass a real encoder with the same
+    ``(payload_bytes, dim) -> list[float]`` signature on cluster
+    images, e.g. a CLIP/whisper wrapper that projects/pads to
+    ``dim``)."""
     from pyspark.sql.functions import pandas_udf
 
     ex = extractor or pseudo_embedding

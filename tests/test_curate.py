@@ -107,3 +107,34 @@ def test_curate_decontaminate(spark, docs_table, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     # docs 1/2/3 share the fox 8-gram with the benchmark -> dropped
     assert kept == {4, 5, 6}
+
+
+def test_curate_null_text_safety(spark, tmp_path):
+    """Null-text docs: exactdedup must NOT collapse distinct docs into
+    one 'duplicate' group, and neardedup passes them through."""
+    from curate import run_curate
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly", "en"),
+        (2, None, "en"),
+        (3, None, "en"),
+        (4, "a completely different document about other things entirely", "en"),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(path)
+
+    out = str(tmp_path / "out")
+    run_curate(spark, _args(input=path, output=out, ops="exactdedup,neardedup"))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 3, 4}  # both null-text docs survive
+
+
+def test_curate_decontaminate_requires_benchmark(spark, docs_table, tmp_path):
+    from curate import run_curate
+
+    with pytest.raises(ValueError, match="requires --benchmark-file"):
+        run_curate(
+            spark,
+            _args(input=docs_table, output=str(tmp_path / "o"),
+                  ops="linededup,decontaminate"),
+        )
