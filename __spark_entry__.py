@@ -365,6 +365,36 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus rollup (the crawl-curation dashboard shape):
+    group by eTLD+1 — including multi-label suffixes via the PSL
+    snapshot — with doc counts, token sums, and mean doc length; one
+    map-side-combinable aggregate."""
+    from solrizer_spark.functions.text_stats import token_count
+    from solrizer_spark.functions.urls import registered_domain
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = (F.col("doc_id") % 6).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("https://sub.site"), m, F.lit(".co.uk/p/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("https://www.example"), m, F.lit(".com/q")))
+        .otherwise(F.concat(F.lit("https://cdn.assets"), m, F.lit(".org/r")))
+    )
+    return (
+        docs.select(registered_domain(url).alias("domain"),
+                    token_count("text").alias("_toks"),
+                    F.length("text").alias("_chars"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            F.round(F.avg("_chars"), 4).alias("mean_chars"),
+        )
+    )
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -1107,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         "model_score": q_model_score,
         "media_features": q_media_features,
+        "domain_stats": q_domain_stats,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1407,6 +1438,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # domain_stats: the oracle states each url's eTLD+1 directly
+        # from doc_id arithmetic (site{m}.co.uk keeps 3 labels)
+        "domain_stats": (
+            "SELECT domain, count(*) AS n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
+            "round(avg(length(text)), 4) AS mean_chars FROM ("
+            "SELECT text, CASE doc_id % 3 "
+            "WHEN 0 THEN 'site' || (doc_id % 6) || '.co.uk' "
+            "WHEN 1 THEN 'example' || (doc_id % 6) || '.com' "
+            "ELSE 'assets' || (doc_id % 6) || '.org' END AS domain "
+            "FROM documents) GROUP BY domain"
+        ),
         # media_features: payload string rebuilt, md5-prefix per (asset, dim)
         "media_features": (
             "SELECT doc_id AS asset_id, CAST(u.j AS BIGINT) AS dim_idx, "
