@@ -395,6 +395,31 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt disallow filtering: per-domain prefix rules
+    broadcast against the corpus; domains without a robots row pass
+    through whole."""
+    from solrizer_spark.functions.urls import filter_robots_disallowed
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 4).cast("string")
+    sect = F.when(F.col("doc_id") % 5 == 0, F.lit("/private/"))\
+        .when(F.col("doc_id") % 5 == 1, F.lit("/tmp/"))\
+        .otherwise(F.lit("/articles/"))
+    base = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://host"), m, F.lit(".example.com"), sect,
+                 F.col("doc_id").cast("string")),
+    )
+    robots = spark.createDataFrame(
+        [("host0.example.com", ["/private/", "/tmp/"]),
+         ("host1.example.com", ["/private/"]),
+         ("host2.example.com", [])],
+        "domain string, disallow array<string>",
+    )
+    return filter_robots_disallowed(base, robots).select("doc_id", "url")
+
+
 def q_solr_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp → UTC Z-notation (solr_datetime, utils.py:4-23),
     including sub-second passthrough: a deterministic microsecond
@@ -1138,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score": q_model_score,
         "media_features": q_media_features,
         "domain_stats": q_domain_stats,
+        "robots_filter": q_robots_filter,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
@@ -1438,6 +1464,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
+        # robots_filter: host{m}.example.com; disallowed = host0 with
+        # /private/ or /tmp/, host1 with /private/; host2/host3 open
+        "robots_filter": (
+            "SELECT doc_id, url FROM ("
+            "SELECT doc_id, doc_id % 4 AS m, "
+            "CASE WHEN doc_id % 5 = 0 THEN '/private/' "
+            "WHEN doc_id % 5 = 1 THEN '/tmp/' ELSE '/articles/' END AS sect, "
+            "'https://host' || (doc_id % 4) || '.example.com' || "
+            "CASE WHEN doc_id % 5 = 0 THEN '/private/' "
+            "WHEN doc_id % 5 = 1 THEN '/tmp/' ELSE '/articles/' END "
+            "|| doc_id AS url FROM documents) "
+            "WHERE NOT ((m = 0 AND sect IN ('/private/', '/tmp/')) "
+            "OR (m = 1 AND sect = '/private/'))"
+        ),
         # domain_stats: the oracle states each url's eTLD+1 directly
         # from doc_id arithmetic (site{m}.co.uk keeps 3 labels)
         "domain_stats": (

@@ -147,7 +147,56 @@ def outlink_domains(html: Column | str) -> Column:
     return F.array_distinct(F.transform(absolute, lambda u: registered_domain(u)))
 
 
-def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):
+def parse_robots_txt(content: str | bytes | None, agent: str = "*") -> list[str]:
+    """Disallow path-prefixes for ``agent`` from a robots.txt body
+    (plain-Python dim-side parser: robots files are one small blob per
+    domain — parse them into the ``(domain, disallow)`` dim that
+    :func:`filter_robots_disallowed` broadcasts). Group semantics per
+    the robots exclusion standard: a UA line opens a group; Disallow
+    lines apply to the open group; the ``*`` group is the fallback.
+    Empty Disallow (allow-all) entries are ignored."""
+    if content is None:
+        return []
+    if isinstance(content, bytes):
+        content = content.decode("utf-8", errors="replace")
+    out: list[str] = []
+    collecting = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            collecting = value == agent or value == "*"
+        elif field == "disallow" and collecting and value:
+            out.append(value)
+    return out
+
+
+def filter_robots_disallowed(df, robots_df, url_col: str = "url"):
+    """Drop rows whose url path starts with a robots-disallowed prefix
+    for its HOST (robots.txt scope is the host, not the registrable
+    domain) — the crawl-politeness post-filter. ``robots_df``:
+    ``(domain string, disallow array<string>)`` keyed by host (build
+    it with :func:`parse_robots_txt`); one row per host → broadcast,
+    so the corpus side never shuffles. Hosts with no robots row pass
+    through (no robots.txt = no restrictions)."""
+    from pyspark.sql import functions as F
+
+    tmp = "___robots_domain"
+    while tmp in df.columns:
+        tmp += "_"
+    path = url_path(url_col)
+    tagged = df.withColumn(tmp, url_host(url_col))
+    joined = tagged.join(
+        F.broadcast(robots_df.select(F.col("domain").alias(tmp), "disallow")),
+        tmp,
+        "left",
+    )
+    blocked = F.exists(F.col("disallow"), lambda p: path.startswith(p))
+    return joined.where(~F.coalesce(blocked, F.lit(False))).drop(tmp, "disallow")
     """Drop rows whose registered domain (eTLD+1) appears in a
     blocklist table — the standard crawl-hygiene step (spam/adult/
     malware domain lists). The blocklist side is small by definition →

@@ -494,3 +494,40 @@ def test_media_feature_stage(spark):
     # pluggable extractor
     out = media_feature_stage(df, dim=2, extractor=lambda b, d: [float(len(b))] * d)
     assert {r["asset_id"]: r["features"] for r in out.collect()}[1] == [5.0, 5.0]
+
+
+def test_parse_robots_txt():
+    from solrizer_spark.functions.urls import parse_robots_txt
+
+    body = b"""# comment
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/   # trailing comment
+Disallow:
+Crawl-delay: 10
+"""
+    assert parse_robots_txt(body) == ["/private/", "/tmp/"]
+    assert parse_robots_txt(body, agent="googlebot") == [
+        "/google-only/", "/private/", "/tmp/"
+    ]
+    assert parse_robots_txt(None) == []
+    assert parse_robots_txt(b"\xff\xfe garbage") == []
+
+
+def test_filter_robots_disallowed(spark):
+    from solrizer_spark.functions.urls import filter_robots_disallowed
+
+    df = spark.createDataFrame(
+        [("https://a.com/private/x",), ("https://a.com/pub/x",),
+         ("https://b.com/private/x",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private/"])], "domain string, disallow array<string>"
+    )
+    kept = {r["url"] for r in filter_robots_disallowed(df, robots).collect()}
+    # b.com has no robots row -> unrestricted
+    assert kept == {"https://a.com/pub/x", "https://b.com/private/x"}
