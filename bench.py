@@ -143,6 +143,9 @@ def main() -> None:
         "temperature_mix",
         "outlinks",
         "model_score",
+        "media_features",
+        "domain_stats",
+        "robots_filter",
     ]:
         runs = []
         if name in iterative:

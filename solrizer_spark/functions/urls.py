@@ -197,6 +197,9 @@ def filter_robots_disallowed(df, robots_df, url_col: str = "url"):
     )
     blocked = F.exists(F.col("disallow"), lambda p: path.startswith(p))
     return joined.where(~F.coalesce(blocked, F.lit(False))).drop(tmp, "disallow")
+
+
+def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):
     """Drop rows whose registered domain (eTLD+1) appears in a
     blocklist table — the standard crawl-hygiene step (spam/adult/
     malware domain lists). The blocklist side is small by definition →
