@@ -991,6 +991,34 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training stage 1: corpus word-frequency table, top 200 by
+    (freq desc, word asc) — the deterministic tie-break makes the
+    limit boundary reproducible, so the oracle's row SET matches.
+    This is the only corpus-sized stage of BPE training (one map-side
+    combinable shuffle); merge learning runs on this bounded table."""
+    from solrizer_spark.functions.bpe import top_words
+
+    docs = _table(spark, sf_dir, "documents").select("text")
+    return top_words(docs, "text", k=200)
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE end-to-end: learn 64 merges from the corpus (distributed
+    word count -> bounded top-k collect -> driver merge loop), then
+    tokenize with one Arrow-batched, word-memoized pandas UDF.
+    Rows-only check: merge learning is iterative and not
+    SQL-expressible; semantics pinned by tests/test_bpe.py (classic
+    Sennrich merge-order case + hypothesis round-trip property)."""
+    from solrizer_spark.functions.bpe import bpe_tokenize, bpe_train
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=64, top_k=5000)
+    return bpe_tokenize(docs, merges, "text").select(
+        "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens"), "bpe_tokens"
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host/domain/path-depth extraction
     (crawl-corpus operator ahead of url-keyed dedup/repartition)."""
@@ -1196,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
+        "bpe_word_counts": q_bpe_word_counts,
+        "bpe_tokens": q_bpe_tokens,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
@@ -1907,6 +1937,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_sum(list_transform(str_split(text,' '), "
             "x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS subword_est "
             "FROM documents"
+        ),
+        # bpe_tokens: rows-only (iterative merge learning, not
+        # SQL-expressible); its distributed stage is covered here
+        "bpe_word_counts": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+            "  SELECT unnest(regexp_extract_all(text, "
+            "    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS word FROM documents"
+            ") GROUP BY word ORDER BY freq DESC, word ASC LIMIT 200"
         ),
     }
 

@@ -125,6 +125,23 @@ def main() -> None:
     # figure. best-of-k because this VM's bursty CPU makes single
     # timings vary several-fold (BENCH/BASELINE.md).
     iterative = {"dedup_clusters"}
+    # pure-projection queries: count(lit(1)) lets Catalyst prune the
+    # projected expressions entirely (even the Arrow UDF stage), so the
+    # timing would measure a bare row-count scan. Counting a computed
+    # column forces the projection. The r1 headline set keeps the
+    # original count(1) action — its queries shuffle/join, where the
+    # count already forces the work — so the headline stays comparable
+    # round-over-round (text_stats is the one projection grandfathered
+    # into that frozen set).
+    force_col = {
+        "dedup_simhash": "simhash32",
+        "facet_labels": "contributor",
+        "chunk_text": "chunk_n_tokens",
+        "outlinks": "links",
+        "model_score": "score",
+        "media_features": "value",
+        "bpe_tokens": "n_bpe_tokens",
+    }
     for name in [
         "page_sequence",
         "dedup_exact",
@@ -146,19 +163,22 @@ def main() -> None:
         "media_features",
         "domain_stats",
         "robots_filter",
+        "bpe_word_counts",
+        "bpe_tokens",
     ]:
         runs = []
+        counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))
         if name in iterative:
             for i in range(2):
                 timed(
                     f"_{name}_{i}",
-                    lambda q=qs[name]: q(spark, sf_dir).agg(F.count(F.lit(1))).collect(),
+                    lambda q=qs[name], c=counted: q(spark, sf_dir).agg(c).collect(),
                 )
                 runs.append(timings.pop(f"_{name}_{i}"))
         else:
             out = qs[name](spark, sf_dir)
             for i in range(3):
-                timed(f"_{name}_{i}", lambda o=out: o.agg(F.count(F.lit(1))).collect())
+                timed(f"_{name}_{i}", lambda o=out, c=counted: o.agg(c).collect())
                 runs.append(timings.pop(f"_{name}_{i}"))
         timings[name] = min(runs)
 

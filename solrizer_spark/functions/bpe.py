@@ -1,0 +1,200 @@
+"""BPE vocabulary induction + subword tokenization for training-data
+pipelines (engine-original; the reference has no tokenizer — this
+extends the training-data suite alongside token counting in
+``text_stats.py``).
+
+Scale design (the 100-TB shape):
+
+* The only corpus-sized stage is **one word-count shuffle**
+  (explode → groupBy → sum), which Spark partial-aggregates map-side;
+  the shuffled rows are (word, partial_count), never documents.
+* Merge learning runs on the **top-K word-frequency table** (bounded
+  collect, default 50k rows). By Zipf/Heaps, the head of the word
+  distribution determines every early merge; the cap bounds driver
+  memory regardless of corpus size, and is the same compromise the
+  standard BPE implementations make (Sennrich et al. 2016 learn from
+  a word-frequency dict, not the raw corpus).
+* Tokenization is a single Arrow-batched stage (``mapInPandas``-class
+  pandas UDF) with a per-batch word→tokens memo — Zipf again: the
+  overwhelming majority of word occurrences hit the cache, so the
+  per-word merge loop runs roughly once per *distinct* word per
+  batch, not once per occurrence.
+
+Algorithm: Sennrich-style merges (word → character symbols + ``</w>``
+end marker; repeatedly merge the most frequent adjacent pair) with a
+deterministic tie-break (highest count, then lexicographically
+smallest pair) so training is reproducible across runs and partition
+layouts. Application is the GPT-2-style lowest-rank greedy loop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .text_stats import BPE_SPLIT_PATTERN
+
+#: marks the end of a word; its own symbol, per the original BPE paper
+END_OF_WORD = "</w>"
+
+
+# --------------------------------------------------------------------------
+# distributed stage 1: word counts (the only corpus-sized shuffle)
+# --------------------------------------------------------------------------
+
+def pre_tokens(text: Column | str) -> Column:
+    """BPE pre-tokenization: letter / digit / punctuation runs
+    (``BPE_SPLIT_PATTERN``), whitespace discarded. SQL-reproducible
+    via ``regexp_extract_all`` (same pattern as ``bpe_token_count``)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table ``(word, freq)``.
+
+    One explode + one groupBy: Spark's partial aggregation combines
+    counts map-side, so the shuffle carries (word, partial_count)
+    pairs — bounded by per-partition *vocabulary*, not corpus size."""
+    return (
+        df.select(F.explode(pre_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def top_words(df: DataFrame, text_col: str = "text", k: int = 50_000) -> DataFrame:
+    """Top-``k`` words by frequency, word-ascending tie-break — the
+    deterministic, bounded input to merge learning."""
+    return word_counts(df, text_col).orderBy(F.desc("freq"), F.asc("word")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# driver stage 2: merge learning (bounded by top-k, not corpus)
+# --------------------------------------------------------------------------
+
+def learn_bpe(
+    word_freqs: Iterable[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from a word-frequency
+    table. Pure driver-side Python over the (capped) vocabulary;
+    deterministic: ties broken by lexicographically smallest pair.
+
+    Stops early when no adjacent pair occurs twice — merging a
+    count-1 pair would just memorize single words."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in word_freqs:
+        if word:
+            vocab[tuple(word) + (END_OF_WORD,)] = vocab.get(
+                tuple(word) + (END_OF_WORD,), 0
+            ) + int(freq)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for symbols, freq in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        pair = best[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for symbols, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == pair[0]
+                    and symbols[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 1000,
+    top_k: int = 50_000,
+) -> list[tuple[str, str]]:
+    """End-to-end training: distributed word count → bounded top-k
+    collect → driver merge learning. The collect is ≤ ``top_k`` short
+    rows by construction — safe at any corpus size."""
+    freqs = [(r["word"], r["freq"]) for r in top_words(df, text_col, top_k).collect()]
+    return learn_bpe(freqs, num_merges)
+
+
+# --------------------------------------------------------------------------
+# distributed stage 3: tokenization (one Arrow stage, word-memoized)
+# --------------------------------------------------------------------------
+
+def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Segment one word with learned merges — GPT-2-style greedy
+    lowest-rank loop. ``ranks`` maps pair → merge priority."""
+    symbols: list[str] = list(word) + [END_OF_WORD]
+    while len(symbols) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(symbols, symbols[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+    return symbols
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Add ``out_col: array<string>`` — the BPE token stream of
+    ``text_col`` under ``merges``. One Arrow-batched pandas UDF; the
+    merge table rides the closure (small — it IS the vocabulary), and
+    a per-batch word→tokens memo collapses repeated words to dict
+    lookups. Null text → null tokens."""
+    import re
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pattern = re.compile(BPE_SPLIT_PATTERN)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tokenize(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def tok(text: str | None) -> list[str] | None:
+            if text is None:
+                return None
+            out: list[str] = []
+            for word in pattern.findall(text):
+                got = memo.get(word)
+                if got is None:
+                    got = apply_bpe(word, ranks)
+                    memo[word] = got
+                out.extend(got)
+            return out
+
+        return texts.map(tok)
+
+    return df.withColumn(out_col, _tokenize(F.col(text_col)))
