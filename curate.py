@@ -169,6 +169,19 @@ def run_curate(spark, args) -> dict:
         frame.unpersist()
     written = spark.read.parquet(args.output)
     stats["rows_out"] = written.count()
+    if args.report:
+        from solrizer_spark.operators.report import (
+            corpus_card_stats,
+            render_corpus_card,
+        )
+
+        # chunk rows carry chunk_text, not the input text column
+        text_col = "chunk_text" if "chunk_text" in written.columns else args.text_col
+        url_col = args.id_col if args.id_col in ("url",) else None
+        card = corpus_card_stats(written, text_col=text_col, url_col=url_col)
+        with open(args.report, "w", encoding="utf-8") as fh:
+            fh.write(render_corpus_card(card, title=f"Corpus card — {args.output}"))
+        stats["report"] = args.report
     return stats
 
 
@@ -192,6 +205,8 @@ def main() -> None:
     ap.add_argument("--chunk-overlap", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--stats", choices=["full", "none"], default="full")
+    ap.add_argument("--report", default=None,
+                    help="write a markdown corpus card of the OUTPUT here")
     args = ap.parse_args()
 
     spark = get_spark(app_name="solrizer-curate", cpus=args.cpus)

@@ -16,7 +16,7 @@ def _args(**kw) -> argparse.Namespace:
         min_quality=0.5, langs="en", line_min_count=3, near_threshold=0.5,
         cc_algorithm="label_propagation", benchmark_file=None,
         mix_source_col="lang", mix_temperature=0.7, chunk_tokens=8,
-        chunk_overlap=2, cpus=None, stats="full",
+        chunk_overlap=2, cpus=None, stats="full", report=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
