@@ -1019,6 +1019,23 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (5 rounds, damping 85/100, mass
+    10^12) over a deterministic 17-host synthetic link graph derived
+    from doc_id residues. Every step is exact integer arithmetic
+    (DIV floor-division), so the DuckDB recursive-CTE oracle —
+    an independent implementation — hash-matches bit-for-bit."""
+    from solrizer_spark.operators.graph import pagerank
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string"))
+    dst = F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 17).cast("string"))
+    edges = docs.select(src.alias("src"), dst.alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    return pagerank(edges, iterations=5)
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host/domain/path-depth extraction
     (crawl-corpus operator ahead of url-keyed dedup/repartition)."""
@@ -1226,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_tokens": q_bpe_tokens,
+        "pagerank": q_pagerank,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
@@ -1945,6 +1963,35 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT unnest(regexp_extract_all(text, "
             "    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS word FROM documents"
             ") GROUP BY word ORDER BY freq DESC, word ASC LIMIT 200"
+        ),
+        # independent PageRank implementation: recursive CTE, same
+        # integer fixed-point contract (total 10^12, damping 85/100,
+        # 5 rounds; keep-alive zero rows so no-inbound nodes receive
+        # the base term; contribs varchar-packed through list_zip
+        # because DuckDB's zipped struct is unnamed)
+        "pagerank": (
+            "WITH RECURSIVE "
+            "edges AS (SELECT DISTINCT 'h' || CAST(doc_id % 17 AS VARCHAR) AS src, "
+            "  'h' || CAST((doc_id * 7 + 3) % 17 AS VARCHAR) AS dst FROM documents "
+            "  WHERE doc_id % 17 != (doc_id * 7 + 3) % 17), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)), "
+            "adj AS (SELECT src, list(dst ORDER BY dst) AS dsts, "
+            "  CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src), "
+            "ranks(iter, node, rank) AS ("
+            "  SELECT 0, node, CAST(1000000000000 // (SELECT count(*) FROM nodes) AS BIGINT) FROM nodes "
+            "  UNION ALL "
+            "  SELECT r.iter + 1, z[1], "
+            "    CAST((15 * 1000000000000 // 100) // (SELECT count(*) FROM nodes) "
+            "         + 85 * SUM(CAST(z[2] AS BIGINT)) // 100 AS BIGINT) "
+            "  FROM ranks r "
+            "  LEFT JOIN adj a ON a.src = r.node, "
+            "  UNNEST(list_zip("
+            "    list_prepend(r.node, COALESCE(a.dsts, [])), "
+            "    list_prepend(CAST(0 AS VARCHAR), COALESCE(list_transform("
+            "      a.dsts, x -> CAST(r.rank // a.deg AS VARCHAR)), [])))) AS u(z) "
+            "  WHERE r.iter < 5 GROUP BY r.iter, z[1]) "
+            "SELECT node, rank FROM ranks WHERE iter = 5"
         ),
     }
 

@@ -124,7 +124,7 @@ def main() -> None:
     # per-query number is warm-cache by design, not a cold-start
     # figure. best-of-k because this VM's bursty CPU makes single
     # timings vary several-fold (BENCH/BASELINE.md).
-    iterative = {"dedup_clusters"}
+    iterative = {"dedup_clusters", "pagerank"}
     # pure-projection queries: count(lit(1)) lets Catalyst prune the
     # projected expressions entirely (even the Arrow UDF stage), so the
     # timing would measure a bare row-count scan. Counting a computed
@@ -165,6 +165,7 @@ def main() -> None:
         "robots_filter",
         "bpe_word_counts",
         "bpe_tokens",
+        "pagerank",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

@@ -1,0 +1,83 @@
+"""Integer fixed-point PageRank (engine-original host-graph layer)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solrizer_spark.operators.graph import host_pagerank, pagerank
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+
+#: 5 iterations, damping 85/100, mass 10^12 — values computed
+#: independently by the DuckDB recursive-CTE oracle implementation
+EXPECTED = {
+    "a": 377_081_308_593,
+    "b": 209_545_478_515,
+    "c": 375_873_212_890,
+    "d": 37_500_000_000,
+}
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_independent_oracle_values(spark):
+    assert _ranks(spark, EDGES, iterations=5) == EXPECTED
+
+
+def test_pagerank_mass_bounded_and_total_nodes(spark):
+    got = _ranks(spark, EDGES, iterations=5)
+    assert set(got) == {"a", "b", "c", "d"}
+    assert sum(got.values()) <= 10**12
+
+
+def test_pagerank_multi_edges_do_not_multiply(spark):
+    # duplicate edges collapse to the simple graph
+    assert _ranks(spark, EDGES + EDGES, iterations=5) == EXPECTED
+
+
+def test_pagerank_no_inbound_node_keeps_base_rank(spark):
+    got = _ranks(spark, EDGES, iterations=5)
+    # d has no inbound edges: after round 1 its rank is exactly base
+    assert got["d"] == ((100 - 85) * 10**12 // 100) // 4
+
+
+def test_pagerank_sink_node_and_zero_iterations(spark):
+    # b is a sink (no out-edges): dangling mass decays, no crash
+    got = _ranks(spark, [("a", "b")], iterations=3)
+    assert set(got) == {"a", "b"} and got["b"] > got["a"]
+    got0 = _ranks(spark, [("a", "b")], iterations=0)
+    assert got0 == {"a": 10**12 // 2, "b": 10**12 // 2}
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iterations=2).collect() == []
+
+
+def test_pagerank_bad_damping(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, damping=(100, 100))
+
+
+def test_host_pagerank_end_to_end(spark):
+    rows = [
+        (
+            f"https://site{i % 3}.com/p{i}",
+            f'<a href="https://hub.org/x">l</a>'
+            + (f'<a href="https://site{(i + 1) % 3}.com/y">m</a>' if i % 2 else ""),
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["url", "html_text"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in host_pagerank(df, iterations=3).collect()
+    }
+    # every site links to hub.org → it dominates
+    assert max(ranks, key=ranks.get) == "hub.org"
+    assert set(ranks) == {"hub.org", "site0.com", "site1.com", "site2.com"}

@@ -161,6 +161,21 @@ def main() -> int:
             f"mapInPandas={p10.count('MapInPandas')} exchanges={p10.count('Exchange')}",
         )
 
+    # 11. one PageRank round: hash/SMJ joins only (no cartesian, no
+    # nested-loop), and the keep-alive union keeps one aggregate
+    from solrizer_spark.operators.graph import pagerank
+
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 17).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    p11 = plan_of(pagerank(edges, iterations=1, checkpoint=False))
+    check(
+        "pagerank_round_no_cartesian",
+        "CartesianProduct" not in p11 and "BroadcastNestedLoopJoin" not in p11,
+        f"joins={p11.count('Join')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
