@@ -124,7 +124,10 @@ def main() -> None:
     # per-query number is warm-cache by design, not a cold-start
     # figure. best-of-k because this VM's bursty CPU makes single
     # timings vary several-fold (BENCH/BASELINE.md).
-    iterative = {"dedup_clusters", "pagerank"}
+    # bpe_tokens is here because its training stage (word-count
+    # shuffle + top-k collect + merge loop) runs at DataFrame-build
+    # time — building once outside the timed runs would hide it
+    iterative = {"dedup_clusters", "pagerank", "bpe_tokens"}
     # pure-projection queries: count(lit(1)) lets Catalyst prune the
     # projected expressions entirely (even the Arrow UDF stage), so the
     # timing would measure a bare row-count scan. Counting a computed

@@ -175,9 +175,9 @@ def run_curate(spark, args) -> dict:
             render_corpus_card,
         )
 
-        # chunk rows carry chunk_text, not the input text column
-        text_col = "chunk_text" if "chunk_text" in written.columns else args.text_col
-        url_col = args.id_col if args.id_col in ("url",) else None
+        # chunk rows carry "chunk", not the input text column
+        text_col = "chunk" if "chunk" in written.columns else args.text_col
+        url_col = "url" if "url" in written.columns else None
         card = corpus_card_stats(written, text_col=text_col, url_col=url_col)
         with open(args.report, "w", encoding="utf-8") as fh:
             fh.write(render_corpus_card(card, title=f"Corpus card — {args.output}"))

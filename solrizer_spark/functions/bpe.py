@@ -177,7 +177,11 @@ def bpe_tokenize(
     import re
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    pattern = re.compile(BPE_SPLIT_PATTERN)
+    # re.ASCII: Java's \s (used at training time by regexp_extract_all
+    # in word_counts) is ASCII-only, Python's is Unicode — without the
+    # flag the two stages would pre-tokenize NBSP-bearing text
+    # differently
+    pattern = re.compile(BPE_SPLIT_PATTERN, re.ASCII)
 
     @F.pandas_udf(ArrayType(StringType()))
     def _tokenize(texts: pd.Series) -> pd.Series:

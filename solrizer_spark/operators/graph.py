@@ -61,6 +61,7 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # pre-join rank-independent sides once; one plan reused each round
@@ -107,7 +108,13 @@ def host_pagerank(
 ) -> DataFrame:
     """PageRank over the registered-domain (eTLD+1) link graph of a
     crawl: outlink extraction (JVM regex, ``functions/urls.py``) →
-    distinct host edges → :func:`pagerank`."""
+    distinct host edges → :func:`pagerank`.
+
+    The node set comes from the EDGES: a host whose pages have no
+    valid outlinks and that nothing links to is absent from the
+    result (it has no graph position) — left-join ranks back onto the
+    crawl's host table and ``coalesce`` to 0 if every host needs a
+    row."""
     from ..functions.urls import outlink_domains, registered_domain
 
     edges = pages.select(

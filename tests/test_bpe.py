@@ -104,6 +104,23 @@ def test_tokenize_roundtrip_property(text):
         assert joined.removesuffix(END_OF_WORD) == w
 
 
+def test_tokenize_nbsp_matches_training_pretokenization(spark):
+    """Review regression: Python \\s is Unicode (eats NBSP) while
+    Java's is ASCII-only — re.ASCII keeps train/apply pre-tokenization
+    identical, so NBSP must survive as a punctuation-run token."""
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    n_words = (
+        df.select(F.size(F.regexp_extract_all(
+            "text",
+            F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), F.lit(0))).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_words == 3  # Java side: a, NBSP, b
+    out = bpe_tokenize(df, [], "text").collect()[0]["bpe_tokens"]
+    # 3 words × (chars + </w>) — NBSP word present, not swallowed
+    assert out.count(END_OF_WORD) == 3 and "\xa0" in out
+
+
 def test_more_merges_never_more_tokens():
     ranks5 = {p: i for i, p in enumerate(learn_bpe(SENNRICH, 5))}
     ranks10 = {p: i for i, p in enumerate(learn_bpe(SENNRICH, 10))}

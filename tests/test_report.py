@@ -80,3 +80,31 @@ def test_curate_report_flag(spark, tmp_path):
     assert stats["report"] == report
     text = open(report, encoding="utf-8").read()
     assert text.startswith("# Corpus card") and "## Languages" in text
+    # the url column is present in the output → domains table renders
+    # even though the id column is doc_id (review finding)
+    assert "## Top domains" in text and "example.com" in text
+
+
+def test_curate_report_after_chunk_op(spark, tmp_path):
+    """Review regression: chunk emits a 'chunk' column and drops the
+    text column — the card must be computed over the chunks."""
+    import argparse
+
+    from curate import run_curate
+
+    path = str(tmp_path / "in")
+    _corpus(spark).write.parquet(path)
+    out = str(tmp_path / "out")
+    report = str(tmp_path / "card.md")
+    args = argparse.Namespace(
+        input=path, output=out, ops="chunk", id_col="doc_id",
+        text_col="text", min_quality=0.5, langs="en", line_min_count=3,
+        near_threshold=0.5, cc_algorithm="label_propagation",
+        benchmark_file=None, mix_source_col="lang", mix_temperature=0.7,
+        chunk_tokens=8, chunk_overlap=2, cpus=None, stats="none",
+        report=report,
+    )
+    stats = run_curate(spark, args)
+    assert stats["rows_out"] >= 3
+    text = open(report, encoding="utf-8").read()
+    assert "Documents**" in text  # card over chunk rows, no crash
