@@ -1036,6 +1036,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5)
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness slots, both modes side by side: exact
+    (windowed row_number cap) and hash (count + md5-bucket, the
+    skew-immune scale path). Deterministic url set from doc_id."""
+    from solrizer_spark.operators.crawl import fetch_schedule
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    exact = fetch_schedule(urls, per_slot=10, mode="exact").withColumnRenamed(
+        "slot", "slot_exact"
+    )
+    hashed = fetch_schedule(urls, per_slot=10, mode="hash").select(
+        "url", F.col("slot").alias("slot_hash")
+    )
+    return exact.join(hashed, "url").select(
+        "url", "host", "slot_exact", "slot_hash"
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host/domain/path-depth extraction
     (crawl-corpus operator ahead of url-keyed dedup/repartition)."""
@@ -1244,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_tokens": q_bpe_tokens,
         "pagerank": q_pagerank,
+        "fetch_schedule": q_fetch_schedule,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
@@ -1992,6 +2017,19 @@ def oracle_sql() -> dict[str, str]:
             "      a.dsts, x -> CAST(r.rank // a.deg AS VARCHAR)), [])))) AS u(z) "
             "  WHERE r.iter < 5 GROUP BY r.iter, z[1]) "
             "SELECT node, rank FROM ranks WHERE iter = 5"
+        ),
+        "fetch_schedule": (
+            "WITH urls AS (SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) "
+            "  || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url, "
+            "  'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host "
+            "  FROM documents), "
+            "counts AS (SELECT host, count(*) AS n FROM urls GROUP BY host) "
+            "SELECT u.url, u.host, "
+            "  CAST((row_number() OVER (PARTITION BY u.host ORDER BY u.url ASC) - 1) "
+            "    // 10 AS BIGINT) AS slot_exact, "
+            "  CAST(('0x'||substr(md5(u.url),1,15))::UBIGINT "
+            "    % CAST(ceil(c.n / 10.0) AS UBIGINT) AS BIGINT) AS slot_hash "
+            "FROM urls u JOIN counts c ON u.host = c.host"
         ),
     }
 

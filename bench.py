@@ -169,6 +169,7 @@ def main() -> None:
         "bpe_word_counts",
         "bpe_tokens",
         "pagerank",
+        "fetch_schedule",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

@@ -1,0 +1,61 @@
+"""Per-host politeness fetch scheduling (engine-original crawl op)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solrizer_spark.operators.crawl import fetch_schedule
+
+
+def _urls(spark, n_big=25, n_small=3):
+    rows = [(f"https://big.com/p{i:03d}",) for i in range(n_big)] + [
+        (f"https://small.org/q{i}",) for i in range(n_small)
+    ]
+    return spark.createDataFrame(rows, ["url"])
+
+
+def test_exact_mode_caps_per_slot(spark):
+    out = fetch_schedule(_urls(spark), per_slot=10, mode="exact").collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["host"], r["slot"]), 0)
+        per[(r["host"], r["slot"])] += 1
+    # big.com: 25 urls → slots 0,1 full (10) and slot 2 holds 5
+    assert per[("big.com", 0)] == 10
+    assert per[("big.com", 1)] == 10
+    assert per[("big.com", 2)] == 5
+    assert per[("small.org", 0)] == 3
+    # lexicographic order: p000..p009 land in slot 0
+    slots = {r["url"]: r["slot"] for r in out}
+    assert slots["https://big.com/p000"] == 0
+    assert slots["https://big.com/p024"] == 2
+
+
+def test_hash_mode_slot_range_and_determinism(spark):
+    df = _urls(spark, n_big=40, n_small=5)
+    a = {r["url"]: r["slot"] for r in fetch_schedule(df, per_slot=10).collect()}
+    b = {r["url"]: r["slot"] for r in fetch_schedule(df, per_slot=10).collect()}
+    assert a == b  # rerun-stable (pure key-hash, no rand())
+    for url, slot in a.items():
+        n_slots = 4 if "big.com" in url else 1
+        assert 0 <= slot < n_slots
+    # single-slot host: everything in slot 0
+    assert all(s == 0 for u, s in a.items() if "small.org" in u)
+
+
+def test_hash_mode_spreads_a_mega_host(spark):
+    df = _urls(spark, n_big=200, n_small=0)
+    out = fetch_schedule(df, per_slot=10).groupBy("slot").count().collect()
+    # 20 slots, expectation 10/slot; just require every slot nonempty
+    # and no slot hoarding more than half the host
+    assert len(out) == 20
+    assert max(r["count"] for r in out) < 100
+
+
+def test_bad_args(spark):
+    df = _urls(spark)
+    with pytest.raises(ValueError):
+        fetch_schedule(df, per_slot=0)
+    with pytest.raises(ValueError):
+        fetch_schedule(df, mode="nope")
