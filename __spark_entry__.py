@@ -1060,6 +1060,19 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring, self-trained on the corpus. All
+    probabilities are exact integer ratios and per-doc sums fold in
+    token order, so the doubles hash-match the oracle bit-for-bit
+    (ln is deliberately absent: JVM Math.log != libm on ~7% of
+    inputs — operators/lm.py docstring)."""
+    from solrizer_spark.operators.lm import lm_score, train_bigram_model
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_bigram_model(docs, min_count=2)
+    return lm_score(docs, model)
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host/domain/path-depth extraction
     (crawl-corpus operator ahead of url-keyed dedup/repartition)."""
@@ -1269,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "pagerank": q_pagerank,
         "fetch_schedule": q_fetch_schedule,
+        "lm_score": q_lm_score,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
@@ -2030,6 +2044,36 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(('0x'||substr(md5(u.url),1,15))::UBIGINT "
             "    % CAST(ceil(c.n / 10.0) AS UBIGINT) AS BIGINT) AS slot_hash "
             "FROM urls u JOIN counts c ON u.host = c.host"
+        ),
+        # lm_score: probabilities are integer ratios (exactly rounded
+        # doubles) and the per-doc sum folds in position order via
+        # list_reduce, mirroring Spark's array_sort + aggregate fold —
+        # bit parity without any transcendental function
+        "lm_score": (
+            "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents), "
+            "big AS (SELECT doc_id, i - 1 AS pos, t[i] AS w1, t[i+1] AS w2 "
+            "  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i) "
+            "  WHERE len(t) > 1), "
+            "c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2), "
+            "model AS (SELECT w1, w2, c2, "
+            "  c2 / sum(c2) OVER (PARTITION BY w1) AS p FROM c2), "
+            "kept AS (SELECT w1, w2, p FROM model WHERE c2 >= 2), "
+            "scored AS (SELECT b.doc_id, b.pos, "
+            "  CASE WHEN m.p IS NULL THEN 1 ELSE 0 END AS oov, "
+            "  COALESCE(m.p, 1e-6) AS p "
+            "  FROM big b LEFT JOIN kept m USING (w1, w2)), "
+            "folded AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "  sum(oov) AS n_oov, "
+            "  list_reduce(list_prepend(0.0, list_transform("
+            "    list_sort(list(struct_pack(pos := pos, p := p))), "
+            "    s -> s.p)), (a, b) -> a + b) AS sum_p "
+            "  FROM scored GROUP BY doc_id) "
+            "SELECT doc_id, n_bigrams, n_oov / n_bigrams AS oov_rate, "
+            "  sum_p / n_bigrams AS mean_p FROM folded "
+            "UNION ALL "
+            "SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), "
+            "  CAST(NULL AS DOUBLE) FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM folded)"
         ),
     }
 

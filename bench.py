@@ -170,6 +170,7 @@ def main() -> None:
         "bpe_tokens",
         "pagerank",
         "fetch_schedule",
+        "lm_score",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

