@@ -144,6 +144,8 @@ def main() -> None:
         "model_score": "score",
         "media_features": "value",
         "bpe_tokens": "n_bpe_tokens",
+        "fetch_schedule": "slot_exact",
+        "lm_score": "mean_p",
     }
     for name in [
         "page_sequence",

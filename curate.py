@@ -70,7 +70,7 @@ def apply_op(
     if op == "fluency":
         from solrizer_spark.operators.lm import lm_score, train_bigram_model
 
-        df = df.persist()  # scanned twice: model training + scoring
+        df = df.persist()  # scanned 3x: training, scoring, keep-join
         persisted.append(df)
         model = train_bigram_model(df, text_col=text_col, id_col=id_col)
         scored = lm_score(df, model, text_col=text_col, id_col=id_col)

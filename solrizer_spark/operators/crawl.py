@@ -52,10 +52,17 @@ def fetch_schedule(
             "slot",
             ((F.row_number().over(w) - F.lit(1)) / per_slot).cast("long"),
         )
+    # null-safe join: rows with un-parseable/null urls form their own
+    # null-host group (mirroring exact mode's window partition) rather
+    # than silently vanishing through a null != null inner join
     counts = out.groupBy("host").agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.select(F.col("host").alias("__h"), "__n")
     n_slots = F.ceil(F.col("__n") / per_slot).cast("long")
     return (
-        out.join(counts, "host")
-        .withColumn("slot", F.pmod(md5_hash60(F.col(url_col)), n_slots))
-        .drop("__n")
+        out.join(counts, out["host"].eqNullSafe(counts["__h"]))
+        .withColumn(
+            "slot",
+            F.pmod(md5_hash60(F.coalesce(F.col(url_col), F.lit(""))), n_slots),
+        )
+        .drop("__h", "__n")
     )

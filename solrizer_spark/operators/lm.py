@@ -13,11 +13,12 @@ in exact rational arithmetic: every probability is an integer ratio
 (``array_sort`` → left fold), so the result is bit-identical under
 any partitioning and in DuckDB.
 
-Scale design: the model is a TABLE, not a broadcast — training is two
-map-side-combinable aggregates over the corpus' bigrams, scoring is
-one shuffle join (bigram-exploded corpus ⋈ model) + one per-doc
-aggregate. At 10^12 docs persist the model to a table and bucket both
-sides on (w1, w2); nothing collects to the driver.
+Scale design: the model is a TABLE, not a broadcast — training is one
+map-side-combinable bigram count over the corpus plus a prefix-sum
+window over the counts table (vocabulary-sized, not corpus-sized);
+scoring is one shuffle join (bigram-exploded corpus ⋈ model) + one
+per-doc aggregate. At 10^12 docs persist the model to a table and
+bucket both sides on (w1, w2); nothing collects to the driver.
 """
 
 from __future__ import annotations

@@ -59,3 +59,15 @@ def test_bad_args(spark):
         fetch_schedule(df, per_slot=0)
     with pytest.raises(ValueError):
         fetch_schedule(df, mode="nope")
+
+
+def test_hash_mode_keeps_null_urls(spark):
+    """Review regression: hash mode must not lose null-url rows to a
+    null != null inner join — both modes agree on cardinality."""
+    rows = [("https://big.com/p1",), ("https://big.com/p2",), (None,)]
+    df = spark.createDataFrame(rows, "url string")
+    exact = fetch_schedule(df, per_slot=2, mode="exact").collect()
+    hashed = fetch_schedule(df, per_slot=2, mode="hash").collect()
+    assert len(exact) == len(hashed) == 3
+    null_rows = [r for r in hashed if r["url"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["slot"] == 0
