@@ -1060,6 +1060,55 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-target pairs (labeled web-graph edges) from synthetic
+    html: JVM regex extraction, inner-markup strip, whitespace
+    collapse. The oracle re-derives the expected pairs arithmetically
+    (same independence pattern as `outlinks`). Double-quoted anchors
+    precede single-quoted ones in the output order by contract."""
+    from solrizer_spark.functions.urls import extract_anchors
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 9).cast("string")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p><a href="https://ex'), m, F.lit(".co.uk/p?id="), did,
+        F.lit('">Read <b>more</b>\n '), did, F.lit("</a>"),
+        F.lit("<a href='/about'>About  Us</a></p>"),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(extract_anchors(html)).alias("pos", "pair")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("pair.href").alias("href"),
+        F.col("pair.text").alias("anchor"),
+    )
+
+
+def q_crawl_delay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-aware hash scheduling: hosts h0/h3/h6 declare
+    delay 5s (→ 2 fetches per 10s slot), the rest take the default
+    rate. Deterministic url/host/delay derivation from doc_id."""
+    from solrizer_spark.operators.crawl import fetch_schedule_with_delays
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(F.col("id") % 3 == 0, F.lit(5.0)).alias("crawl_delay"),
+    )
+    return fetch_schedule_with_delays(
+        urls, hosts, slot_seconds=10.0, default_per_slot=10
+    ).select("url", "host", "slot")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency scoring, self-trained on the corpus. All
     probabilities are exact integer ratios and per-doc sums fold in
@@ -1283,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "fetch_schedule": q_fetch_schedule,
         "lm_score": q_lm_score,
+        "anchors": q_anchors,
+        "crawl_delay_schedule": q_crawl_delay_schedule,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
@@ -2031,6 +2082,31 @@ def oracle_sql() -> dict[str, str]:
             "      a.dsts, x -> CAST(r.rank // a.deg AS VARCHAR)), [])))) AS u(z) "
             "  WHERE r.iter < 5 GROUP BY r.iter, z[1]) "
             "SELECT node, rank FROM ranks WHERE iter = 5"
+        ),
+        # anchors: expected pairs re-derived arithmetically (no regex
+        # replay) — pos 0 is the double-quoted anchor, pos 1 the
+        # single-quoted one, per the documented extraction order
+        "anchors": (
+            "SELECT doc_id, CAST(0 AS BIGINT) AS pos, "
+            "'https://ex' || CAST(doc_id % 9 AS VARCHAR) || '.co.uk/p?id=' "
+            "|| CAST(doc_id AS VARCHAR) AS href, "
+            "'Read more ' || CAST(doc_id AS VARCHAR) AS anchor FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, CAST(1 AS BIGINT), '/about', 'About Us' FROM documents"
+        ),
+        "crawl_delay_schedule": (
+            "WITH urls AS (SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) "
+            "  || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url, "
+            "  'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host, "
+            "  doc_id % 7 AS hid FROM documents), "
+            "counts AS (SELECT host, hid, count(*) AS n FROM urls GROUP BY host, hid), "
+            "rated AS (SELECT host, CAST(ceil(n / (CASE WHEN hid % 3 = 0 "
+            "  THEN greatest(1, CAST(floor(10.0 / 5.0) AS BIGINT)) "
+            "  ELSE 10 END)) AS BIGINT) AS n_slots FROM counts) "
+            "SELECT u.url, u.host, "
+            "  CAST(('0x'||substr(md5(u.url),1,15))::UBIGINT "
+            "    % CAST(r.n_slots AS UBIGINT) AS BIGINT) AS slot "
+            "FROM urls u JOIN rated r ON u.host = r.host"
         ),
         "fetch_schedule": (
             "WITH urls AS (SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) "

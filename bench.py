@@ -173,6 +173,8 @@ def main() -> None:
         "pagerank",
         "fetch_schedule",
         "lm_score",
+        "anchors",
+        "crawl_delay_schedule",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

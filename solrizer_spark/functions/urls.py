@@ -219,3 +219,64 @@ def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):
         "left_anti",
     )
     return out.drop(tmp)
+
+
+def extract_anchors(html: Column | str) -> Column:
+    """``array<struct<href,text>>`` — anchor-target pairs, the labeled
+    edge of the web graph (anchor-text harvesting is the classic
+    relevance/query-doc training signal). Same JVM-regex heuristic
+    family as :func:`extract_outlinks` (quoted hrefs, double- then
+    single-quoted in document order, case-insensitive, ``(?s)`` so
+    anchors spanning lines match); inner markup is stripped and
+    whitespace collapsed in the anchor text."""
+    col = F.col(html) if isinstance(html, str) else html
+    col = col.cast("string")
+
+    def pairs(quote: str) -> Column:
+        pat = F.lit(
+            r"(?is)<a\s[^>]*href\s*=\s*" + quote + r"([^" + quote + r"]*)"
+            + quote + r"[^>]*>(.*?)</a>"
+        )
+        hrefs = F.regexp_extract_all(col, pat, 1)
+        texts = F.transform(
+            F.regexp_extract_all(col, pat, 2),
+            lambda t: F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(t, r"<[^>]*>", ""), r"\s+", " "
+                )
+            ),
+        )
+        return F.arrays_zip(hrefs.alias("href"), texts.alias("text"))
+
+    return F.concat(pairs('"'), pairs("'"))
+
+
+def parse_crawl_delay(content: str | bytes | None, agent: str = "*") -> float | None:
+    """``Crawl-delay`` (seconds) for ``agent`` from a robots.txt body —
+    same group semantics as :func:`parse_robots_txt` (a UA line opens
+    a group; ``*`` is the fallback); the last delay in a collected
+    group wins; invalid/absent → None. Feeds
+    ``crawl.fetch_schedule_with_delays`` as the per-host rate dim."""
+    if content is None:
+        return None
+    if isinstance(content, bytes):
+        content = content.decode("utf-8", errors="replace")
+    delay: float | None = None
+    collecting = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            collecting = value == agent or value == "*"
+        elif field == "crawl-delay" and collecting:
+            try:
+                parsed = float(value)
+            except ValueError:
+                continue
+            if parsed >= 0:
+                delay = parsed
+    return delay

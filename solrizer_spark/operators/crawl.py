@@ -66,3 +66,50 @@ def fetch_schedule(
         )
         .drop("__h", "__n")
     )
+
+
+def fetch_schedule_with_delays(
+    df: DataFrame,
+    delays_df: DataFrame,
+    url_col: str = "url",
+    slot_seconds: float = 10.0,
+    default_per_slot: int = 10,
+) -> DataFrame:
+    """Hash-mode scheduling with robots ``Crawl-delay`` honored per
+    host: a slot represents ``slot_seconds`` of crawling, so a host
+    declaring delay ``d`` absorbs ``max(1, floor(slot_seconds/d))``
+    fetches per slot; hosts without a (valid, positive) delay row get
+    ``default_per_slot``. ``delays_df`` is ``(host, crawl_delay)`` —
+    build it with ``urls.parse_crawl_delay`` over fetched robots
+    bodies. Same scale shape as hash-mode :func:`fetch_schedule`:
+    per-host count, host⋈host join with the delay dim (both
+    host-cardinality), md5 bucketing, no per-host ordering."""
+    if default_per_slot < 1:
+        raise ValueError(f"default_per_slot must be >= 1, got {default_per_slot}")
+    out = df.withColumn("host", url_host(url_col))
+    counts = out.groupBy("host").agg(F.count(F.lit(1)).alias("__n"))
+    dim = delays_df.select(
+        F.col("host").alias("__h"), F.col("crawl_delay").alias("__d")
+    )
+    per_slot = F.when(
+        F.col("__d").isNotNull() & (F.col("__d") > 0),
+        F.greatest(F.lit(1), F.floor(F.lit(float(slot_seconds)) / F.col("__d"))),
+    ).otherwise(F.lit(default_per_slot)).cast("long")
+    rated = (
+        counts.join(dim, counts["host"].eqNullSafe(dim["__h"]), "left")
+        .select(
+            F.col("host").alias("__rh"),
+            F.ceil(F.col("__n") / per_slot).cast("long").alias("__slots"),
+        )
+    )
+    return (
+        out.join(rated, out["host"].eqNullSafe(rated["__rh"]))
+        .withColumn(
+            "slot",
+            F.pmod(
+                md5_hash60(F.coalesce(F.col(url_col), F.lit(""))),
+                F.col("__slots"),
+            ),
+        )
+        .drop("__rh", "__slots")
+    )

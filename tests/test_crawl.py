@@ -71,3 +71,59 @@ def test_hash_mode_keeps_null_urls(spark):
     assert len(exact) == len(hashed) == 3
     null_rows = [r for r in hashed if r["url"] is None]
     assert len(null_rows) == 1 and null_rows[0]["slot"] == 0
+
+
+def test_fetch_schedule_with_delays(spark):
+    """A slow host (Crawl-delay 5 -> 2 fetches per 10s slot) spreads
+    over more slots than a default host of the same size."""
+    from solrizer_spark.operators.crawl import fetch_schedule_with_delays
+
+    rows = [(f"https://slow.com/p{i}",) for i in range(20)] + [
+        (f"https://fast.org/p{i}",) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    delays = spark.createDataFrame(
+        [("slow.com", 5.0), ("fast.org", None)],
+        "host string, crawl_delay double",
+    )
+    out = fetch_schedule_with_delays(
+        df, delays, slot_seconds=10.0, default_per_slot=10
+    ).collect()
+    slots = {}
+    for r in out:
+        slots.setdefault(r["host"], set()).add(r["slot"])
+    # slow.com: per_slot=2 -> ceil(20/2)=10 slots (hash occupancy may
+    # leave some empty); fast.org: 2 slots
+    assert slots["slow.com"] <= set(range(10)) and len(slots["slow.com"]) >= 6
+    assert slots["fast.org"] <= {0, 1} and len(slots["fast.org"]) == 2
+    assert len(out) == 40
+
+
+def test_extract_anchors_shapes(spark):
+    from solrizer_spark.functions.urls import extract_anchors
+
+    html = (
+        '<A HREF="https://x.com/a">Click <b>here</b>\n now</A>'
+        "<a href='/rel'>rel  link</a><a href=\"https://y.com/b\"></a>"
+        '<a name="no-href">skip</a>'
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    got = df.select(extract_anchors("html").alias("a")).collect()[0]["a"]
+    assert [(r["href"], r["text"]) for r in got] == [
+        ("https://x.com/a", "Click here now"),  # tags stripped, ws collapsed
+        ("https://y.com/b", ""),                # empty anchor kept
+        ("/rel", "rel link"),                   # single-quoted after double
+    ]
+
+
+def test_parse_crawl_delay_groups():
+    from solrizer_spark.functions.urls import parse_crawl_delay
+
+    body = "User-agent: *\nCrawl-delay: 2.5\nUser-agent: bot\nCrawl-delay: 99"
+    assert parse_crawl_delay(body) == 2.5
+    assert parse_crawl_delay(body, agent="bot") == 99.0
+    assert parse_crawl_delay("User-agent: other\nCrawl-delay: 7") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nope") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3") is None
+    assert parse_crawl_delay(None) is None
+    assert parse_crawl_delay(b"User-agent: *\nCrawl-delay: 1") == 1.0
