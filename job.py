@@ -85,6 +85,7 @@ def run_job(
     near_signatures_path: str | None = None,
     near_cc_algorithm: str = "label_propagation",
     input_format: str = "auto",
+    host_graph: bool = False,
 ) -> dict:
     if resume and dedup is not None:
         # global dedup + partial recompute is unsound: a duplicate pair
@@ -265,6 +266,26 @@ def run_job(
     )
     metrics.unpersist()
 
+    host_graph_stats = None
+    if host_graph:
+        # web-graph side tables over the FULL pages input (global like
+        # dedup, but read-only w.r.t. extraction, so it composes with
+        # --resume — it just recomputes each run)
+        from solrizer_spark.operators.graph import host_edges, pagerank
+
+        full_pages = read_pages(spark, input_path, fmt=input_format)
+        edges = host_edges(full_pages, html_col="html", url_col="url").persist()
+        edges_path = os.path.join(output_path, "host_graph", "edges")
+        ranks_path = os.path.join(output_path, "host_graph", "ranks")
+        edges.write.mode("overwrite").parquet(edges_path)
+        ranks = pagerank(edges, iterations=5)
+        ranks.write.mode("overwrite").parquet(ranks_path)
+        host_graph_stats = {
+            "n_edges": edges.count(),
+            "n_hosts": spark.read.parquet(ranks_path).count(),
+        }
+        edges.unpersist()
+
     counters = dict(obs.get) if obs.get else {}
     n_docs = int(counters.get("n_docs") or 0)
     return {
@@ -275,6 +296,7 @@ def run_job(
         "skipped_buckets": skipped,
         "counters": {k: int(v) for k, v in counters.items() if v is not None},
         **({"near_dedup": near_dedup_stats} if near_dedup_stats is not None else {}),
+        **({"host_graph": host_graph_stats} if host_graph_stats is not None else {}),
     }
 
 
@@ -314,6 +336,12 @@ def main() -> None:
         "label_propagation converges in O(diameter) rounds (near-clique "
         "dup clusters), star (large-star/small-star) in O(log^2 n) "
         "rounds regardless of diameter (huge or chain-shaped graphs)",
+    )
+    ap.add_argument(
+        "--host-graph", action="store_true",
+        help="also write host_graph/edges (distinct eTLD+1 link edges) "
+        "and host_graph/ranks (integer fixed-point PageRank, 5 rounds) "
+        "side tables derived from the pages input",
     )
     ap.add_argument(
         "--chains", default=None,
@@ -358,6 +386,7 @@ def main() -> None:
         near_signatures_path=args.near_signatures_path,
         near_cc_algorithm=args.near_cc_algorithm,
         input_format=args.input_format,
+        host_graph=args.host_graph,
     )
     print(json.dumps(stats))
     spark.stop()

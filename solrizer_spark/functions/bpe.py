@@ -202,3 +202,24 @@ def bpe_tokenize(
         return texts.map(tok)
 
     return df.withColumn(out_col, _tokenize(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
+# merge-table persistence (tokenizers are trained once, applied often)
+# --------------------------------------------------------------------------
+
+def save_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist learned merges as a ``(rank, left, right)`` parquet
+    table — the tokenizer artifact a training run ships alongside its
+    corpus (rank preserves application priority)."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank long, left string, right string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge table written by :func:`save_merges`, rank order
+    restored."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -100,6 +100,30 @@ def pagerank(
     return ranks
 
 
+def host_edges(
+    pages: DataFrame,
+    html_col: str = "html_text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Distinct (src, dst) eTLD+1 edges of a crawl's link graph:
+    JVM-regex outlink extraction → registered domains → self-loops
+    dropped. The web-graph side table `job.py --host-graph` writes."""
+    from ..functions.urls import outlink_domains, registered_domain
+
+    return (
+        pages.select(
+            registered_domain(url_col).alias("src"),
+            F.explode(outlink_domains(html_col)).alias("dst"),
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+
+
 def host_pagerank(
     pages: DataFrame,
     html_col: str = "html_text",
@@ -115,10 +139,4 @@ def host_pagerank(
     result (it has no graph position) — left-join ranks back onto the
     crawl's host table and ``coalesce`` to 0 if every host needs a
     row."""
-    from ..functions.urls import outlink_domains, registered_domain
-
-    edges = pages.select(
-        registered_domain(url_col).alias("src"),
-        F.explode(outlink_domains(html_col)).alias("dst"),
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-    return pagerank(edges, iterations=iterations)
+    return pagerank(host_edges(pages, html_col, url_col), iterations=iterations)

@@ -126,3 +126,17 @@ def test_more_merges_never_more_tokens():
     ranks10 = {p: i for i, p in enumerate(learn_bpe(SENNRICH, 10))}
     for w, _ in SENNRICH:
         assert len(apply_bpe(w, ranks10)) <= len(apply_bpe(w, ranks5))
+
+
+def test_merge_table_roundtrip(spark, tmp_path):
+    from solrizer_spark.functions.bpe import load_merges, save_merges
+
+    merges = learn_bpe(SENNRICH, 5)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+    # tokenization with reloaded merges is identical
+    df = spark.createDataFrame([(1, "lowest")], ["doc_id", "text"])
+    a = bpe_tokenize(df, merges, "text").collect()[0]["bpe_tokens"]
+    b = bpe_tokenize(df, load_merges(spark, path), "text").collect()[0]["bpe_tokens"]
+    assert a == b == ["low", "est" + END_OF_WORD]

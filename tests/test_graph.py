@@ -81,3 +81,42 @@ def test_host_pagerank_end_to_end(spark):
     # every site links to hub.org → it dominates
     assert max(ranks, key=ranks.get) == "hub.org"
     assert set(ranks) == {"hub.org", "site0.com", "site1.com", "site2.com"}
+
+
+def test_job_host_graph_side_tables(spark, tmp_path):
+    """job.py --host-graph writes edges + integer ranks side tables."""
+    import datetime as dt
+    import os
+
+    from job import run_job
+
+    def page(i, host, links):
+        body = "<html><body><p>some extracted content here okay</p>"
+        body += "".join(f'<a href="https://{d}/x">l</a>' for d in links)
+        body += "</body></html>"
+        return (
+            f"https://{host}/p{i}",
+            dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+            body.encode(),
+            None,
+            "en",
+        )
+
+    rows = [page(i, f"site{i % 3}.com", ["hub.org"]) for i in range(9)]
+    pages_path = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(pages_path)
+
+    out = str(tmp_path / "out")
+    stats = run_job(spark, pages_path, out, n_buckets=8, host_graph=True)
+    assert stats["host_graph"] == {"n_edges": 3, "n_hosts": 4}
+    ranks = {
+        r["node"]: r["rank"]
+        for r in spark.read.parquet(os.path.join(out, "host_graph", "ranks")).collect()
+    }
+    assert max(ranks, key=ranks.get) == "hub.org"
+    edges = spark.read.parquet(os.path.join(out, "host_graph", "edges")).collect()
+    assert {(e["src"], e["dst"]) for e in edges} == {
+        (f"site{i}.com", "hub.org") for i in range(3)
+    }
