@@ -106,6 +106,7 @@ def run_job(
     run_id = uuid.uuid4().hex[:12]
 
     pages = read_pages(spark, input_path, fmt=input_format)
+    ingested_path: str | None = None
     if input_format == "warc" or input_path.endswith((".warc", ".warc.gz")):
         # materialize the archive parse ONCE to a durable side table:
         # downstream needs multiple passes (corpus fingerprint + the
@@ -120,6 +121,7 @@ def run_job(
             shutil.rmtree(ingest_path, ignore_errors=True)
             pages.write.mode("overwrite").parquet(ingest_path)
         pages = spark.read.parquet(ingest_path)
+        ingested_path = ingest_path
     corpus_fp = corpus_fingerprint(pages)
     pages = pages.withColumn("partition_key", url_bucket("url", n_buckets, salt))
 
@@ -273,12 +275,19 @@ def run_job(
         # --resume — it just recomputes each run)
         from solrizer_spark.operators.graph import host_edges, pagerank
 
-        full_pages = read_pages(spark, input_path, fmt=input_format)
+        # WARC inputs: reuse the materialized ingest table — never
+        # re-parse raw archives for a second pass (same cost model as
+        # the ingest block above)
+        full_pages = (
+            spark.read.parquet(ingested_path)
+            if ingested_path is not None
+            else read_pages(spark, input_path, fmt=input_format)
+        )
         edges = host_edges(full_pages, html_col="html", url_col="url").persist()
         edges_path = os.path.join(output_path, "host_graph", "edges")
         ranks_path = os.path.join(output_path, "host_graph", "ranks")
         edges.write.mode("overwrite").parquet(edges_path)
-        ranks = pagerank(edges, iterations=5)
+        ranks = pagerank(edges, iterations=5, dedup_edges=False)
         ranks.write.mode("overwrite").parquet(ranks_path)
         host_graph_stats = {
             "n_edges": edges.count(),

@@ -147,20 +147,23 @@ def outlink_domains(html: Column | str) -> Column:
     return F.array_distinct(F.transform(absolute, lambda u: registered_domain(u)))
 
 
-def parse_robots_txt(content: str | bytes | None, agent: str = "*") -> list[str]:
-    """Disallow path-prefixes for ``agent`` from a robots.txt body
-    (plain-Python dim-side parser: robots files are one small blob per
-    domain — parse them into the ``(domain, disallow)`` dim that
-    :func:`filter_robots_disallowed` broadcasts). Group semantics per
-    the robots exclusion standard: a UA line opens a group; Disallow
-    lines apply to the open group; the ``*`` group is the fallback.
-    Empty Disallow (allow-all) entries are ignored."""
+def _robots_directives(
+    content: str | bytes | None, agent: str
+) -> list[tuple[str, str]]:
+    """(field, value) directives from the robots.txt groups that apply
+    to ``agent`` under RFC 9309 semantics: consecutive ``User-agent``
+    lines share one group; if any group names the agent exactly, ONLY
+    those groups apply (the ``*`` groups are ignored); otherwise the
+    ``*`` groups apply. Shared state machine for the Disallow and
+    Crawl-delay parsers — one copy of the group-tracking logic."""
     if content is None:
         return []
     if isinstance(content, bytes):
         content = content.decode("utf-8", errors="replace")
-    out: list[str] = []
-    collecting = False
+    groups: list[tuple[set[str], list[tuple[str, str]]]] = []
+    agents: set[str] = set()
+    rules: list[tuple[str, str]] = []
+    in_ua_run = False
     for raw in content.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -169,10 +172,35 @@ def parse_robots_txt(content: str | bytes | None, agent: str = "*") -> list[str]
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            collecting = value == agent or value == "*"
-        elif field == "disallow" and collecting and value:
-            out.append(value)
-    return out
+            if not in_ua_run:  # a UA line after rules starts a new group
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = set(), []
+            agents.add(value.lower())
+            in_ua_run = True
+        else:
+            rules.append((field, value))
+            in_ua_run = False
+    if agents:
+        groups.append((agents, rules))
+    wanted = agent.lower()
+    exact = [r for a, r in groups if wanted in a]
+    wildcard = [r for a, r in groups if "*" in a]
+    selected = exact if exact else wildcard  # identical when agent="*"
+    return [d for rules in selected for d in rules]
+
+
+def parse_robots_txt(content: str | bytes | None, agent: str = "*") -> list[str]:
+    """Disallow path-prefixes for ``agent`` from a robots.txt body
+    (plain-Python dim-side parser: robots files are one small blob per
+    domain — parse them into the ``(domain, disallow)`` dim that
+    :func:`filter_robots_disallowed` broadcasts). RFC 9309 group
+    semantics via :func:`_robots_directives` — a group naming the
+    agent exactly SUPERSEDES the ``*`` fallback group. Empty Disallow
+    (allow-all) entries are ignored."""
+    return [
+        v for f, v in _robots_directives(content, agent) if f == "disallow" and v
+    ]
 
 
 def filter_robots_disallowed(df, robots_df, url_col: str = "url"):
@@ -253,30 +281,18 @@ def extract_anchors(html: Column | str) -> Column:
 
 def parse_crawl_delay(content: str | bytes | None, agent: str = "*") -> float | None:
     """``Crawl-delay`` (seconds) for ``agent`` from a robots.txt body —
-    same group semantics as :func:`parse_robots_txt` (a UA line opens
-    a group; ``*`` is the fallback); the last delay in a collected
-    group wins; invalid/absent → None. Feeds
+    same RFC 9309 group semantics as :func:`parse_robots_txt` (exact
+    agent group supersedes ``*``); the last delay among the applicable
+    groups wins; invalid/absent → None. Feeds
     ``crawl.fetch_schedule_with_delays`` as the per-host rate dim."""
-    if content is None:
-        return None
-    if isinstance(content, bytes):
-        content = content.decode("utf-8", errors="replace")
     delay: float | None = None
-    collecting = False
-    for raw in content.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
+    for field, value in _robots_directives(content, agent):
+        if field != "crawl-delay":
             continue
-        field, _, value = line.partition(":")
-        field = field.strip().lower()
-        value = value.strip()
-        if field == "user-agent":
-            collecting = value == agent or value == "*"
-        elif field == "crawl-delay" and collecting:
-            try:
-                parsed = float(value)
-            except ValueError:
-                continue
-            if parsed >= 0:
-                delay = parsed
+        try:
+            parsed = float(value)
+        except ValueError:
+            continue
+        if parsed >= 0:
+            delay = parsed
     return delay

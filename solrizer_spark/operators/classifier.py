@@ -76,6 +76,12 @@ def train_hashed_linear(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
+    # null-text docs are excluded from training: the deployed
+    # hashed_linear_score returns NULL for null text (F.split(null)),
+    # so a zero-vector training row would teach the model a margin it
+    # can never produce at scan time — keep train and deploy domains
+    # identical instead
+    df = df.where(F.col(text_col).isNotNull())
     feats = hashed_count_features(df, text_col, id_col, dim).select(
         F.col(label_col).cast("double").alias("label"),
         array_to_vector("features").alias("features"),

@@ -8,6 +8,8 @@ contributes at most ``per_slot`` urls per slot (exact mode) or
 ~``per_slot`` in expectation (hash mode). A fetcher then processes
 slots in order — within a slot, every host appears a bounded number
 of times, which IS the politeness guarantee.
+``fetch_schedule_with_delays`` derives the per-host rate from robots
+``Crawl-delay`` directives instead of one global constant.
 
 Two modes, one scale trade-off:
 
@@ -23,12 +25,40 @@ Two modes, one scale trade-off:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.urls import url_host
 from .dedup import md5_hash60
+
+
+def _host_counts(out: DataFrame) -> DataFrame:
+    """Per-host url counts ``(host, __n)`` — one map-side-combinable
+    aggregate; the null-host group (un-parseable/null urls) is kept."""
+    return out.groupBy("host").agg(F.count(F.lit(1)).alias("__n"))
+
+
+def _hash_slots(out: DataFrame, url_col: str, slots_dim: DataFrame) -> DataFrame:
+    """Shared hash-mode tail: join the per-host ``(host, __slots)``
+    dim back onto the rows and md5-bucket each url. One copy of the
+    invariants both schedulers rely on: the join is NULL-SAFE (rows
+    with un-parseable/null urls form their own null-host group,
+    mirroring exact mode's window partition, instead of vanishing
+    through a null != null inner join) and null urls hash as the
+    empty string."""
+    dim = slots_dim.select(F.col("host").alias("__h"), "__slots")
+    return (
+        out.join(dim, out["host"].eqNullSafe(dim["__h"]))
+        .withColumn(
+            "slot",
+            F.pmod(
+                md5_hash60(F.coalesce(F.col(url_col), F.lit(""))),
+                F.col("__slots"),
+            ),
+        )
+        .drop("__h", "__slots")
+    )
 
 
 def fetch_schedule(
@@ -44,28 +74,17 @@ def fetch_schedule(
         raise ValueError(f"per_slot must be >= 1, got {per_slot}")
     if mode not in ("hash", "exact"):
         raise ValueError(f"mode must be 'hash' or 'exact', got {mode!r}")
-    host = url_host(url_col)
-    out = df.withColumn("host", host)
+    out = df.withColumn("host", url_host(url_col))
     if mode == "exact":
         w = Window.partitionBy("host").orderBy(F.col(url_col).asc())
         return out.withColumn(
             "slot",
             ((F.row_number().over(w) - F.lit(1)) / per_slot).cast("long"),
         )
-    # null-safe join: rows with un-parseable/null urls form their own
-    # null-host group (mirroring exact mode's window partition) rather
-    # than silently vanishing through a null != null inner join
-    counts = out.groupBy("host").agg(F.count(F.lit(1)).alias("__n"))
-    counts = counts.select(F.col("host").alias("__h"), "__n")
-    n_slots = F.ceil(F.col("__n") / per_slot).cast("long")
-    return (
-        out.join(counts, out["host"].eqNullSafe(counts["__h"]))
-        .withColumn(
-            "slot",
-            F.pmod(md5_hash60(F.coalesce(F.col(url_col), F.lit(""))), n_slots),
-        )
-        .drop("__h", "__n")
+    slots_dim = _host_counts(out).select(
+        "host", F.ceil(F.col("__n") / per_slot).cast("long").alias("__slots")
     )
+    return _hash_slots(out, url_col, slots_dim)
 
 
 def fetch_schedule_with_delays(
@@ -81,35 +100,26 @@ def fetch_schedule_with_delays(
     fetches per slot; hosts without a (valid, positive) delay row get
     ``default_per_slot``. ``delays_df`` is ``(host, crawl_delay)`` —
     build it with ``urls.parse_crawl_delay`` over fetched robots
-    bodies. Same scale shape as hash-mode :func:`fetch_schedule`:
-    per-host count, host⋈host join with the delay dim (both
-    host-cardinality), md5 bucketing, no per-host ordering."""
+    bodies; duplicate host rows (e.g. robots fetched over both
+    schemes) collapse to the MOST CONSERVATIVE (maximum) delay, so a
+    messy dim can never fan the urls join out. Same scale shape as
+    hash-mode :func:`fetch_schedule` (shared ``_hash_slots`` tail):
+    host⋈host joins only, md5 bucketing, no per-host ordering."""
     if default_per_slot < 1:
         raise ValueError(f"default_per_slot must be >= 1, got {default_per_slot}")
     out = df.withColumn("host", url_host(url_col))
-    counts = out.groupBy("host").agg(F.count(F.lit(1)).alias("__n"))
-    dim = delays_df.select(
-        F.col("host").alias("__h"), F.col("crawl_delay").alias("__d")
+    dim = delays_df.groupBy(F.col("host").alias("__dh")).agg(
+        F.max("crawl_delay").alias("__d")
     )
-    per_slot = F.when(
+    counts = _host_counts(out)
+    per_slot: Column = F.when(
         F.col("__d").isNotNull() & (F.col("__d") > 0),
         F.greatest(F.lit(1), F.floor(F.lit(float(slot_seconds)) / F.col("__d"))),
     ).otherwise(F.lit(default_per_slot)).cast("long")
-    rated = (
-        counts.join(dim, counts["host"].eqNullSafe(dim["__h"]), "left")
-        .select(
-            F.col("host").alias("__rh"),
-            F.ceil(F.col("__n") / per_slot).cast("long").alias("__slots"),
-        )
+    slots_dim = counts.join(
+        dim, counts["host"].eqNullSafe(dim["__dh"]), "left"
+    ).select(
+        counts["host"],
+        F.ceil(F.col("__n") / per_slot).cast("long").alias("__slots"),
     )
-    return (
-        out.join(rated, out["host"].eqNullSafe(rated["__rh"]))
-        .withColumn(
-            "slot",
-            F.pmod(
-                md5_hash60(F.coalesce(F.col(url_col), F.lit(""))),
-                F.col("__slots"),
-            ),
-        )
-        .drop("__rh", "__slots")
-    )
+    return _hash_slots(out, url_col, slots_dim)

@@ -45,14 +45,19 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Return ``(node, rank)`` after ``iterations`` rounds of integer
     PageRank over the (de-duplicated) ``edges``. ``rank`` sums to
-    ≤ ``total_mass`` (floor rounding + dangling decay)."""
+    ≤ ``total_mass`` (floor rounding + dangling decay). Pass
+    ``dedup_edges=False`` when the input is already distinct (e.g.
+    :func:`host_edges` output) to skip a redundant full shuffle."""
     num, denom = damping
     if not (0 < num < denom):
         raise ValueError(f"damping must be a proper fraction, got {damping}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedup_edges:
+        e = e.distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -139,4 +144,8 @@ def host_pagerank(
     result (it has no graph position) — left-join ranks back onto the
     crawl's host table and ``coalesce`` to 0 if every host needs a
     row."""
-    return pagerank(host_edges(pages, html_col, url_col), iterations=iterations)
+    return pagerank(
+        host_edges(pages, html_col, url_col),
+        iterations=iterations,
+        dedup_edges=False,  # host_edges output is already distinct
+    )

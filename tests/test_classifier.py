@@ -57,3 +57,23 @@ def test_scan_time_score_equals_feature_dot_product(spark, labeled):
     for r in rows:
         margin = bias + sum(c * w for c, w in zip(r["features"], weights))
         assert r["s"] == pytest.approx(margin, abs=1e-4)
+
+
+def test_null_text_excluded_from_training(spark, labeled):
+    """Review regression: null-text docs train as nothing (excluded),
+    matching deployment where hashed_linear_score(null) is NULL."""
+    from solrizer_spark.functions.text_stats import hashed_linear_score
+
+    with_nulls = labeled.unionByName(
+        spark.createDataFrame(
+            [(900, None, 1.0), (901, None, 0.0)],
+            "doc_id long, text string, label double",
+        )
+    )
+    weights, bias = train_hashed_linear(with_nulls, dim=64, max_iter=30)
+    base_w, base_b = train_hashed_linear(labeled, dim=64, max_iter=30)
+    assert weights == base_w and bias == base_b
+    scored = with_nulls.select(
+        "doc_id", hashed_linear_score("text", weights, bias).alias("s")
+    ).collect()
+    assert all(r["s"] is None for r in scored if r["doc_id"] >= 900)

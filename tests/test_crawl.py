@@ -127,3 +127,35 @@ def test_parse_crawl_delay_groups():
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3") is None
     assert parse_crawl_delay(None) is None
     assert parse_crawl_delay(b"User-agent: *\nCrawl-delay: 1") == 1.0
+
+
+def test_parse_crawl_delay_rfc_group_semantics():
+    """Review regressions: exact-agent group supersedes the wildcard
+    group; consecutive User-agent lines share one group."""
+    from solrizer_spark.functions.urls import parse_crawl_delay
+
+    body = "User-agent: bot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 30"
+    assert parse_crawl_delay(body, agent="bot") == 2.0
+    assert parse_crawl_delay(body) == 30.0
+    shared = "User-agent: a\nUser-agent: b\nCrawl-delay: 5"
+    assert parse_crawl_delay(shared, agent="a") == 5.0
+    assert parse_crawl_delay(shared, agent="b") == 5.0
+
+
+def test_fetch_schedule_with_delays_duplicate_host_rows(spark):
+    """Review regression: a dim with two rows for one host must not
+    fan out the urls join; the conservative (max) delay wins."""
+    from solrizer_spark.operators.crawl import fetch_schedule_with_delays
+
+    df = spark.createDataFrame(
+        [(f"https://dup.com/p{i}",) for i in range(10)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("dup.com", 2.0), ("dup.com", 5.0)], "host string, crawl_delay double"
+    )
+    out = fetch_schedule_with_delays(
+        df, delays, slot_seconds=10.0, default_per_slot=10
+    ).collect()
+    assert len(out) == 10  # no row duplication
+    # max delay 5 -> per_slot 2 -> ceil(10/2) = 5 slots
+    assert all(0 <= r["slot"] < 5 for r in out)

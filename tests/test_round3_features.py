@@ -510,9 +510,9 @@ Disallow:
 Crawl-delay: 10
 """
     assert parse_robots_txt(body) == ["/private/", "/tmp/"]
-    assert parse_robots_txt(body, agent="googlebot") == [
-        "/google-only/", "/private/", "/tmp/"
-    ]
+    # RFC 9309: a group naming the agent exactly SUPERSEDES the *
+    # fallback (review fix — previously unioned with the * group)
+    assert parse_robots_txt(body, agent="googlebot") == ["/google-only/"]
     assert parse_robots_txt(None) == []
     assert parse_robots_txt(b"\xff\xfe garbage") == []
 
