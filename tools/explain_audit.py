@@ -176,6 +176,24 @@ def main() -> int:
         f"joins={p11.count('Join')}",
     )
 
+    # 12. bigram-LM scoring: zero Python stages (the whole train+score
+    # path is Column expressions), no cartesian join
+    p12 = plan_of(em.q_lm_score(spark, sf))
+    check(
+        "lm_score_no_python_no_cartesian",
+        "EvalPython" not in p12 and "CartesianProduct" not in p12,
+        f"python={p12.count('EvalPython')}",
+    )
+
+    # 13. crawl scheduling: host-keyed hash joins only — no cartesian,
+    # no nested-loop, no per-host global sort outside the exact mode
+    p13 = plan_of(em.q_crawl_delay_schedule(spark, sf))
+    check(
+        "crawl_schedule_hash_joins_only",
+        "CartesianProduct" not in p13 and "BroadcastNestedLoopJoin" not in p13,
+        f"joins={p13.count('Join')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
