@@ -1060,6 +1060,23 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-backoff LM fluency (λ=7/10 bigram + 3/10 unigram).
+    λ and 1−λ are computed with the same IEEE ops in both engines
+    (never written as the decimal 0.3, whose double differs from
+    1−0.7); everything else is integer ratios + order-pinned folds."""
+    from solrizer_spark.operators.lm import (
+        lm_score_backoff,
+        train_bigram_model,
+        train_unigram_model,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_score_backoff(
+        docs, train_bigram_model(docs, min_count=2), train_unigram_model(docs)
+    )
+
+
 def q_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-target pairs (labeled web-graph edges) from synthetic
     html: JVM regex extraction, inner-markup strip, whitespace
@@ -1334,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "anchors": q_anchors,
         "crawl_delay_schedule": q_crawl_delay_schedule,
+        "lm_backoff": q_lm_backoff,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
@@ -2125,6 +2143,40 @@ def oracle_sql() -> dict[str, str]:
         # doubles) and the per-doc sum folds in position order via
         # list_reduce, mirroring Spark's array_sort + aggregate fold —
         # bit parity without any transcendental function
+        # lm_backoff: λ written as (7.0/10.0) and 1−λ as
+        # (1 - 7.0/10.0) so both engines run the same IEEE ops
+        "lm_backoff": (
+            "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents), "
+            "big AS (SELECT doc_id, i - 1 AS pos, t[i] AS w1, t[i+1] AS w2 "
+            "  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i) "
+            "  WHERE len(t) > 1), "
+            "c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2), "
+            "model AS (SELECT w1, w2, c2, "
+            "  c2 / sum(c2) OVER (PARTITION BY w1) AS p FROM c2), "
+            "kept AS (SELECT w1, w2, p FROM model WHERE c2 >= 2), "
+            "unic AS (SELECT w, count(*) AS c FROM ("
+            "  SELECT unnest(str_split(text, ' ')) AS w FROM documents"
+            ") GROUP BY w), "
+            "uni2 AS (SELECT w, c / sum(c) OVER () AS p1 FROM unic), "
+            "scored AS (SELECT b.doc_id, b.pos, "
+            "  CASE WHEN m.p IS NULL AND u.p1 IS NULL THEN 1 ELSE 0 END AS oov, "
+            "  (7.0/10.0) * COALESCE(m.p, 0.0) "
+            "  + (1 - 7.0/10.0) * COALESCE(u.p1, 1e-6) AS p "
+            "  FROM big b LEFT JOIN kept m USING (w1, w2) "
+            "  LEFT JOIN uni2 u ON u.w = b.w2), "
+            "folded AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "  sum(oov) AS n_oov, "
+            "  list_reduce(list_prepend(0.0, list_transform("
+            "    list_sort(list(struct_pack(pos := pos, p := p))), "
+            "    s -> s.p)), (a, b) -> a + b) AS sum_p "
+            "  FROM scored GROUP BY doc_id) "
+            "SELECT doc_id, n_bigrams, n_oov / n_bigrams AS oov_rate, "
+            "  sum_p / n_bigrams AS mean_p FROM folded "
+            "UNION ALL "
+            "SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), "
+            "  CAST(NULL AS DOUBLE) FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM folded)"
+        ),
         "lm_score": (
             "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents), "
             "big AS (SELECT doc_id, i - 1 AS pos, t[i] AS w1, t[i+1] AS w2 "

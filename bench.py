@@ -146,6 +146,7 @@ def main() -> None:
         "bpe_tokens": "n_bpe_tokens",
         "fetch_schedule": "slot_exact",
         "lm_score": "mean_p",
+        "lm_backoff": "mean_p",
     }
     for name in [
         "page_sequence",
@@ -173,6 +174,7 @@ def main() -> None:
         "pagerank",
         "fetch_schedule",
         "lm_score",
+        "lm_backoff",
         "anchors",
         "crawl_delay_schedule",
     ]:

@@ -120,3 +120,94 @@ def lm_score(
             F.lit(None).cast("double").alias("mean_p"),
         )
     )
+
+
+def train_unigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus unigram table ``(w, p)`` with ``p = count(w)/total`` —
+    the backoff distribution for :func:`lm_score_backoff`. Exact
+    integer ratio; one map-side-combinable count (the scalar total
+    rides a window over the counts table, vocabulary-sized)."""
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = Window.partitionBy()  # single global partition of the
+    # vocabulary-sized counts table, not the corpus
+    return counts.select("w", (F.col("c") / F.sum("c").over(total)).alias("p"))
+
+
+def lm_score_backoff(
+    df: DataFrame,
+    bigram_model: DataFrame,
+    unigram_model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    interp: tuple[int, int] = (7, 10),
+    oov_p: float = DEFAULT_OOV_P,
+) -> DataFrame:
+    """Interpolated-backoff fluency: per transition,
+    ``p = λ·p_bigram + (1−λ)·p_unigram(w2)`` with ``λ = interp[0]/
+    interp[1]`` (a rational, so the doubles stay engine-exact); an
+    unseen bigram contributes 0 to the first term, an unseen *word*
+    falls to ``oov_p``. Smoother than :func:`lm_score`'s hard OOV
+    floor — a rare-but-real word scores its unigram mass instead of
+    1e-6. Same shuffle shape plus one extra join on ``w2``; same
+    order-pinned fold, same bit-parity contract."""
+    lam_n, lam_d = interp
+    if not (0 <= lam_n <= lam_d) or lam_d <= 0:
+        raise ValueError(f"interp must be a fraction in [0,1], got {interp}")
+    lam = lam_n / lam_d
+    scored = (
+        _bigrams(df, text_col, id_col)
+        .join(bigram_model, ["w1", "w2"], "left")
+        .join(
+            unigram_model.select(
+                F.col("w").alias("w2"), F.col("p").alias("__p1")
+            ),
+            "w2",
+            "left",
+        )
+        .select(
+            id_col,
+            "pos",
+            (F.col("p").isNull() & F.col("__p1").isNull())
+            .cast("long")
+            .alias("oov"),
+            (
+                F.lit(lam) * F.coalesce(F.col("p"), F.lit(0.0))
+                + F.lit(1 - lam) * F.coalesce(F.col("__p1"), F.lit(float(oov_p)))
+            ).alias("p"),
+        )
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").alias("n_oov"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        ).alias("sum_p"),
+    )
+    out = folded.select(
+        id_col,
+        "n_bigrams",
+        (F.col("n_oov") / F.col("n_bigrams")).alias("oov_rate"),
+        (F.col("sum_p") / F.col("n_bigrams")).alias("mean_p"),
+    )
+    empties = df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+    return out.unionByName(
+        empties.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("oov_rate"),
+            F.lit(None).cast("double").alias("mean_p"),
+        )
+    )

@@ -74,3 +74,35 @@ def test_lm_score_fluent_beats_shuffled(spark):
     got = {r["doc_id"]: r for r in lm_score(test, model).collect()}
     assert got[100]["mean_p"] > got[200]["mean_p"]
     assert got[100]["oov_rate"] < got[200]["oov_rate"]
+
+
+def test_backoff_scores_rare_real_word_above_oov(spark):
+    """A transition into a corpus-frequent word scores its unigram
+    mass under backoff instead of the 1e-6 floor."""
+    from solrizer_spark.operators.lm import (
+        lm_score_backoff,
+        train_unigram_model,
+    )
+
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bi = train_bigram_model(corpus, min_count=2)   # only (a,b) kept
+    uni = train_unigram_model(corpus)
+    got = {r["doc_id"]: r for r in lm_score_backoff(corpus, bi, uni).collect()}
+    # doc1 bigrams: (a,b) seen; (b,a),(b,c) unseen bigrams but a and c
+    # are corpus words -> unigram backoff, NOT oov
+    assert got[1]["oov_rate"] == 0.0
+    lam = 7 / 10
+    # unigrams over "a b a b c a b x": tokens total 8: a:3 b:3 c:1 x:1
+    p_ab = lam * 1.0 + (1 - lam) * (3 / 8)
+    p_ba = lam * 0.0 + (1 - lam) * (3 / 8)
+    p_bc = lam * 0.0 + (1 - lam) * (1 / 8)
+    assert got[1]["mean_p"] == (p_ab + p_ba + p_ab + p_bc) / 4
+    assert got[3]["n_bigrams"] == 0 and got[3]["mean_p"] is None
+
+
+def test_backoff_bad_interp(spark):
+    from solrizer_spark.operators.lm import lm_score_backoff
+
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        lm_score_backoff(corpus, corpus, corpus, interp=(11, 10))
