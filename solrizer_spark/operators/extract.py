@@ -8,7 +8,7 @@ WholeStageCodegen.
 
 Reference semantics re-expressed (src/solrizer/indexers/extracted_text.py):
 
-* 3-way content routing OCR → HTML → plain text (get_text_page,
+* content routing OCR → PDF → HTML → plain text (get_text_page,
   extracted_text.py:76-111) becomes payload sniffing inside the UDF
   (``route`` field) + ``F.when`` chains downstream;
 * HTML route: get_text-equivalent ``raw_text`` plus scored DOM blocks
@@ -52,7 +52,7 @@ BLOCK_TYPE = T.StructType(
 
 EXTRACT_TYPE = T.StructType(
     [
-        T.StructField("route", T.StringType()),  # html | plain | tagged | failed
+        T.StructField("route", T.StringType()),  # html | pdf | plain | tagged | failed
         T.StructField("raw_text", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("tagged_text", T.StringType()),
@@ -127,6 +127,28 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
                 pass  # not OCR after all → HTML route
             except Exception as e:
                 return {**_FAILED, "error": f"ocr_error:{type(e).__name__}", "bytes_in": len(html)}
+        if head.lstrip()[:5] == b"%PDF-":
+            # binary-PDF route (north rule "PDF/layout parse" — the
+            # layout half is the tagged route above): stdlib kernel,
+            # never raises; unrecoverable text → parse_failed metrics
+            from solrizer_spark.extraction.pdf_text import (
+                extract_pdf_text,
+                pdf_title,
+            )
+
+            pdf_text = extract_pdf_text(html)
+            if not pdf_text:
+                return {**_FAILED, "error": "pdf_no_text", "bytes_in": len(html)}
+            return {
+                "route": "pdf",
+                "raw_text": pdf_text,
+                "title": pdf_title(html),
+                "tagged_text": None,
+                "blocks": None,
+                "parse_failed": False,
+                "error": None,
+                "bytes_in": len(html),
+            }
         result = extract_html(html)
         if result.parse_failed:
             return {**_FAILED, "error": result.error, "bytes_in": len(html)}
