@@ -47,15 +47,17 @@ def _parse_literal(data: bytes, i: int) -> tuple[str, int]:
         c = data[i : i + 1]
         if c == b"\\" and i + 1 < n:
             nxt = data[i + 1 : i + 2]
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt in b"01234567":  # octal escape, up to 3 digits
                 j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                while j < min(i + 4, n) and data[j : j + 1] in b"01234567":
                     j += 1
                 out.append(chr(int(data[i + 1 : j], 8) & 0xFF))
                 i = j
                 continue
-            if nxt in (b"\r", b"\n"):  # line continuation
-                i += 2
+            if nxt in (b"\r", b"\n"):  # line continuation: no output;
+                i += 2  # CRLF counts as ONE end-of-line (spec 7.3.4.2)
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
                 continue
             out.append(_ESCAPES.get(nxt, nxt.decode("latin-1")))
             i += 2
@@ -133,16 +135,21 @@ def extract_pdf_text(data: bytes | None) -> str:
     if not data:
         return ""
     out: list[str] = []
-    try:
-        for m in _STREAM_RE.finditer(data):
-            body = m.group(1)
-            try:
-                body = zlib.decompress(body.strip(b"\r\n"))
-            except zlib.error:
-                pass  # stored uncompressed (or an image stream)
+    for m in _STREAM_RE.finditer(data):
+        body = m.group(1)
+        try:
+            # decompressobj ignores trailing bytes (the EOL before
+            # 'endstream') — plain decompress on a stripped body can
+            # corrupt streams whose zlib data itself ends in 0x0a/0x0d
+            inflated = zlib.decompressobj().decompress(body)
+            if inflated:
+                body = inflated
+        except zlib.error:
+            pass  # stored uncompressed (or an image stream)
+        try:
             out.extend(_content_text(body))
-    except Exception:
-        pass  # arbitrary bytes must never raise
+        except Exception:
+            continue  # one bad stream must not discard the others
     text = "".join(out)
     # collapse the ET/T* newline runs; strip edges
     return re.sub(r"\n{2,}", "\n", text).strip()
@@ -153,8 +160,11 @@ def pdf_title(data: bytes | None) -> str | None:
     None when absent."""
     if not data:
         return None
-    m = _TITLE_RE.search(data)
-    if not m:
+    try:
+        m = _TITLE_RE.search(data)
+        if not m:
+            return None
+        text, _ = _parse_literal(b"(" + m.group(1) + b")", 0)
+    except Exception:
         return None
-    text, _ = _parse_literal(b"(" + m.group(1) + b")", 0)
     return text or None

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from solrizer_spark.extraction.html_text import extract_html
+from solrizer_spark.extraction.pdf_text import extract_pdf_text, pdf_title
 from solrizer_spark.extraction.tagged import (
     OCR1_MAGIC,
     UnrecognizedOCRFormatError,
@@ -131,11 +132,6 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
             # binary-PDF route (north rule "PDF/layout parse" — the
             # layout half is the tagged route above): stdlib kernel,
             # never raises; unrecoverable text → parse_failed metrics
-            from solrizer_spark.extraction.pdf_text import (
-                extract_pdf_text,
-                pdf_title,
-            )
-
             pdf_text = extract_pdf_text(html)
             if not pdf_text:
                 return {**_FAILED, "error": "pdf_no_text", "bytes_in": len(html)}

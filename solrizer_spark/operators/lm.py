@@ -125,7 +125,6 @@ def lm_score(
 def train_unigram_model(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus unigram table ``(w, p)`` with ``p = count(w)/total`` —
     the backoff distribution for :func:`lm_score_backoff`. Exact

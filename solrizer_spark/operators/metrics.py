@@ -30,6 +30,7 @@ def build_metrics(docs: DataFrame, run_id: str) -> DataFrame:
             F.sum((F.col("route") == "html").cast("long")).alias("n_html"),
             F.sum((F.col("route") == "plain").cast("long")).alias("n_plain"),
             F.sum((F.col("route") == "tagged").cast("long")).alias("n_tagged"),
+            F.sum((F.col("route") == "pdf").cast("long")).alias("n_pdf"),
             F.min("warc_ts").alias("min_warc_ts"),
             F.max("warc_ts").alias("max_warc_ts"),
         )

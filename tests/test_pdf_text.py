@@ -121,3 +121,29 @@ def test_pdf_route_detail_mode_parity(spark):
         "extracted_text"
     ).collect()[0][0]
     assert fast == detail == "detail parity\nline 2"
+
+
+def test_review_regressions_kernel():
+    """Reproduced review findings: digits 8/9 are not octal; zlib
+    bodies ending in EOL bytes must survive; a bad stream must not
+    discard good ones; CRLF continuation emits nothing."""
+    # \8 is not octal: literal '8' per the escape fallback, no raise
+    assert extract_pdf_text(make_pdf(rb"BT (bad \8 esc) Tj ET")) == "bad 8 esc"
+    assert pdf_title(make_pdf(b"BT (x) Tj ET", title=rb"bad \8")) == "bad 8"
+    # compressed stream whose zlib bytes end in 0x0a (review repro)
+    content = b"BT (strip victim 49) Tj ET"
+    assert zlib.compress(content).endswith(b"\n")
+    assert extract_pdf_text(make_pdf(content)) == "strip victim 49"
+    # one undecodable stream between two good ones
+    good = zlib.compress(b"BT (keep me) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n" + good +
+        b"\nendstream\n2 0 obj\n<< >>\nstream\n\xff\xfe\x01garbage"
+        b"\nendstream\n3 0 obj\n<< >>\nstream\n" + good +
+        b"\nendstream\n%%EOF"
+    )
+    assert "keep me" in extract_pdf_text(pdf)
+    # CRLF line continuation: no output at all
+    assert extract_pdf_text(
+        make_pdf(b"BT (foo\\\r\nbar) Tj ET", compress=False)
+    ) == "foobar"
