@@ -88,14 +88,18 @@ def _sentence(rng: random.Random, n: int) -> str:
     return s[0].upper() + s[1:] + "."
 
 
-def generate_page(i: int, seed: int = 42, size_factor: int = 1) -> tuple[dict, dict]:
+def generate_page(
+    i: int, seed: int = 42, size_factor: int = 1, pdf_class: bool = False
+) -> tuple[dict, dict]:
     """Pure function (seed, i, size_factor) → (pages row, golden row).
 
     ``size_factor`` scales the paragraph count of HTML payload classes
     (~500 B pages at 1; ~8 KB at 16) so benchmarks can exercise
     realistic Common-Crawl page sizes and the Arrow batch cap without
     touching the golden contract (expectations are computed from the
-    same construction)."""
+    same construction). ``pdf_class=True`` (opt-in; the default keeps
+    every historical golden byte-stable) turns class 4 into a
+    FlateDecode binary-PDF payload exercising the ``pdf`` route."""
     rng = random.Random(f"{seed}:{i}")
     if rng.random() < 0.30:
         domain = _MEGA_DOMAINS[i % len(_MEGA_DOMAINS)]
@@ -140,6 +144,21 @@ def generate_page(i: int, seed: int = 42, size_factor: int = 1) -> tuple[dict, d
             f"<article>\n{para_html}</article>\n{footer}\n</body></html>"
         ).encode("utf-8")
         expected = "\n".join(paras)  # main-content route: kept blocks only
+    elif cls == 4 and pdf_class:
+        payload_class = "pdf"
+        import zlib as _zlib
+
+        title = f"Document {i}"
+        pdf_lines = [_sentence(rng, rng.randrange(5, 10)) for _ in range(3)]
+        content = "BT " + " T* ".join(f"({ln}) Tj" for ln in pdf_lines) + " ET"
+        body = _zlib.compress(content.encode("latin-1"))
+        html = (
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+            + str(len(body)).encode() + b" >>\nstream\n" + body
+            + b"\nendstream\nendobj\n2 0 obj\n<< /Title ("
+            + title.encode("latin-1") + b") >>\nendobj\ntrailer\n<< >>\n%%EOF\n"
+        )
+        expected = "\n".join(pdf_lines)
     elif cls in (3, 4):
         payload_class = "simple-html"
         w0 = rng.choice(_VOCAB).capitalize()
@@ -215,6 +234,7 @@ def write_corpus(
     seed: int = 42,
     chunk_size: int = 25_000,
     size_factor: int = 1,
+    pdf_class: bool = False,
 ) -> dict[str, str]:
     """Write ``{path}/pages/*.parquet`` and ``{path}/golden/*.parquet``.
 
@@ -230,7 +250,7 @@ def write_corpus(
     part = 0
     for start in range(0, n_pages, chunk_size):
         stop = min(start + chunk_size, n_pages)
-        rows = [generate_page(i, seed, size_factor) for i in range(start, stop)]
+        rows = [generate_page(i, seed, size_factor, pdf_class) for i in range(start, stop)]
         pages = pa.Table.from_pylist([r[0] for r in rows], schema=PAGES_SCHEMA)
         golden = pa.Table.from_pylist([r[1] for r in rows], schema=GOLDEN_SCHEMA)
         pq.write_table(pages, os.path.join(pages_dir, f"part-{part:05d}.parquet"))

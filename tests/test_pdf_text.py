@@ -147,3 +147,37 @@ def test_review_regressions_kernel():
     assert extract_pdf_text(
         make_pdf(b"BT (foo\\\r\nbar) Tj ET", compress=False)
     ) == "foobar"
+
+
+def test_pdf_corpus_class_end_to_end(spark, tmp_path):
+    """Opt-in PDF payload class drives the pdf route through the full
+    job with byte-identity vs the independently constructed golden;
+    the default generator output stays byte-stable (goldens frozen)."""
+    import os
+
+    import duckdb
+
+    from job import run_job
+    from solrizer_spark.corpus.generator import generate_page, write_corpus
+
+    # default output unchanged by the new parameter
+    assert generate_page(14, seed=42) == generate_page(14, seed=42, pdf_class=False)
+
+    paths = write_corpus(str(tmp_path / "c"), n_pages=120, seed=7, pdf_class=True)
+    out = str(tmp_path / "out")
+    stats = run_job(spark, paths["pages"], out, n_buckets=8)
+    assert stats["n_docs"] == 120
+    match = duckdb.sql(f"""
+        SELECT count(*) total,
+               sum(CASE WHEN g.payload_class = 'pdf' THEN 1 ELSE 0 END) n_pdf,
+               sum(CASE WHEN d.extracted_text = g.expected_text
+                        OR (d.extracted_text IS NULL AND g.expect_parse_failed)
+                   THEN 1 ELSE 0 END) identical
+        FROM parquet_scan('{out}/docs/*/*.parquet') d
+        JOIN parquet_scan('{paths["golden"]}/*.parquet') g USING (url)
+    """).fetchone()
+    assert match[0] == 120 and match[1] == 12 and match[2] == 120
+    routes = duckdb.sql(
+        f"SELECT sum(n_pdf) FROM parquet_scan('{out}/metrics/*.parquet')"
+    ).fetchone()
+    assert routes[0] == 12  # metrics route mix counts the pdf docs
