@@ -1077,6 +1077,42 @@ def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a synthetic crawl increment vs the
+    documents base: doc_id%5==0 → near-dup (last token dropped),
+    else doc_id%7==0 → exact copy, else fresh vocabulary. The oracle
+    re-derives survivors with TRUE Jaccard against every base doc
+    (no LSH) — recall parity of the banded path is part of the
+    check, as in `dedup_minhash_lsh`."""
+    from solrizer_spark.operators.dedup import dedup_against_base
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    fresh = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.concat(
+                F.lit("w"), F.col("doc_id").cast("string"), F.lit("x"),
+                j.cast("string"),
+            ),
+        ),
+    )
+    # text expr FIRST: Spark's lateral column aliasing would otherwise
+    # resolve the doc_id inside `fresh` to the just-aliased +100000 id
+    new = docs.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)),
+        )
+        .when(F.col("doc_id") % 7 == 0, F.col("text"))
+        .otherwise(fresh)
+        .alias("text"),
+        (F.col("doc_id") + 100000).alias("doc_id"),
+    ).select("doc_id", "text")
+    return dedup_against_base(new, docs, threshold=0.8)
+
+
 def q_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-target pairs (labeled web-graph edges) from synthetic
     html: JVM regex extraction, inner-markup strip, whitespace
@@ -1352,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchors": q_anchors,
         "crawl_delay_schedule": q_crawl_delay_schedule,
         "lm_backoff": q_lm_backoff,
+        "dedup_incremental": q_dedup_incremental,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "quality_topk": q_quality_topk,
@@ -1780,6 +1817,34 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_filter(str_split(text, ' '), t -> t IN ('the','a')))"
             " / len(str_split(text, ' ')), 4) AS stopword_ratio "
             "FROM documents"
+        ),
+        # dedup_incremental: survivors re-derived with TRUE Jaccard
+        # against every base doc (cross join at sf0.01 — no LSH), so
+        # the banded path's recall is itself under test
+        "dedup_incremental": (
+            "WITH toks AS (SELECT doc_id, str_split(text,' ') AS t FROM documents), "
+            "newb AS (SELECT doc_id+100000 AS doc_id, "
+            "  CASE WHEN doc_id%5=0 THEN array_to_string(list_slice(t,1,len(t)-1),' ') "
+            "       WHEN doc_id%7=0 THEN array_to_string(t,' ') "
+            "       ELSE array_to_string(list_transform(generate_series(1,8), "
+            "            j -> 'w'||doc_id||'x'||j), ' ') END AS text FROM toks), "
+            "exact_dup AS (SELECT DISTINCT n.doc_id FROM newb n "
+            "  JOIN documents b ON n.text = b.text), "
+            "shn AS (SELECT doc_id, CASE WHEN len(str_split(text,' '))-2 <= 0 "
+            "  THEN [text] ELSE list_distinct(list_transform("
+            "    generate_series(1,len(str_split(text,' '))-2), "
+            "    i -> array_to_string(list_slice(str_split(text,' '),i,i+2),' '))) "
+            "  END AS s FROM newb WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)), "
+            "shb AS (SELECT doc_id, CASE WHEN len(t)-2 <= 0 "
+            "  THEN [array_to_string(t,' ')] ELSE list_distinct(list_transform("
+            "    generate_series(1,len(t)-2), "
+            "    i -> array_to_string(list_slice(t,i,i+2),' '))) END AS s FROM toks), "
+            "near_dup AS (SELECT DISTINCT n.doc_id FROM shn n JOIN shb b ON "
+            "  CAST(len(list_intersect(n.s,b.s)) AS DOUBLE)"
+            "  /len(list_distinct(list_cat(n.s,b.s))) >= 0.8) "
+            "SELECT doc_id, text FROM newb "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup) "
+            "  AND doc_id NOT IN (SELECT doc_id FROM near_dup)"
         ),
         "dedup_minhash_lsh": (
             _SHINGLES_CTE

@@ -177,6 +177,7 @@ def main() -> None:
         "lm_backoff",
         "anchors",
         "crawl_delay_schedule",
+        "dedup_incremental",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

@@ -651,3 +651,79 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_against_base(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float | None = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental dedup: the rows of ``new_df`` (a crawl increment)
+    that duplicate nothing in ``base_df`` (the existing corpus) —
+    the daily-increment production shape, where re-deduplicating the
+    full union would redo 10^12 rows of work to admit 10^9.
+
+    Two stages: exact (text-hash LEFT ANTI join — nulls pass, a null
+    can't duplicate anything) and, when ``threshold`` is not None,
+    near (MinHash+LSH): both sides are remapped into disjoint
+    parity id spaces (``2i`` new / ``2i+1`` base — ids may overlap
+    between the tables; caller ids must fit 62 bits), run through the
+    oracle-tested :func:`minhash_lsh_pairs`, and only CROSS-side
+    pairs flag a new row. New-vs-new duplicates are intentionally
+    kept — dedup within the increment composes separately (job.py
+    --dedup), and dropping them here would make the result depend on
+    increment batching.
+
+    Scale: the exact stage is one hash anti-join; the near stage
+    reuses the capped, payload-pruned LSH machinery — base signatures
+    can go to a durable table via the same ``signatures_path``
+    pattern when the base is 10^12 rows."""
+    text_hash = F.md5(F.col(text_col))
+    base_hashes = (
+        base_df.where(F.col(text_col).isNotNull())
+        .select(text_hash.alias("__h"))
+        .distinct()
+    )
+    survivors = new_df.join(
+        base_hashes, F.md5(new_df[text_col]) == F.col("__h"), "left_anti"
+    )
+    if threshold is None:
+        return survivors
+
+    two_id = (F.col(id_col) * 2).alias(id_col)
+    two_id_1 = (F.col(id_col) * 2 + 1).alias(id_col)
+    tagged = (
+        survivors.where(F.col(text_col).isNotNull())
+        .select(two_id, text_col)
+        .unionByName(
+            base_df.where(F.col(text_col).isNotNull()).select(two_id_1, text_col)
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        tagged,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    cross = pairs.where(F.pmod("id_a", F.lit(2)) != F.pmod("id_b", F.lit(2)))
+    flagged_new = cross.select(
+        (
+            F.when(F.pmod("id_a", F.lit(2)) == 0, F.col("id_a")).otherwise(
+                F.col("id_b")
+            )
+            / 2
+        )
+        .cast("long")
+        .alias(id_col)
+    ).distinct()
+    return survivors.join(flagged_new, id_col, "left_anti")

@@ -403,3 +403,37 @@ def test_repetition_signals(spark):
     assert abs(rows[0].tbf - 3 * 2 / 7) < 1e-6     # 'x y' ×3 of 7 tokens
     assert rows[1].dlf == 0.0
     assert abs(rows[1].tbf - 2 / 4) < 1e-6         # every bigram unique
+
+
+def test_dedup_against_base_incremental(spark):
+    """Incremental dedup: exact + near dups of the base are dropped,
+    fresh/null rows pass, and new-vs-new duplicates are kept (within-
+    increment dedup composes separately)."""
+    from solrizer_spark.operators.dedup import dedup_against_base
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer")
+    base = spark.createDataFrame(
+        [(1, body), (2, "a completely different base document about other topics "
+                        "with many of its own words to compare against")],
+        ["doc_id", "text"],
+    )
+    near = " ".join(body.split()[:-1])  # drop last word: jaccard ~0.95
+    new = spark.createDataFrame(
+        [
+            (10, body),                       # exact dup of base 1
+            (11, near),                       # near dup of base 1
+            (12, "an entirely fresh incremental document bringing brand new "
+                 "vocabulary nothing shares with the existing corpus at all"),
+            (13, None),                       # null text: passes
+            (14, "an entirely fresh incremental document bringing brand new "
+                 "vocabulary nothing shares with the existing corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_against_base(new, base).collect()}
+    assert kept == {12, 13, 14}  # 14 = new-vs-new dup of 12, kept
+    # exact-only mode keeps the near dup
+    kept_exact = {r["doc_id"]
+                  for r in dedup_against_base(new, base, threshold=None).collect()}
+    assert kept_exact == {11, 12, 13, 14}
