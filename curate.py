@@ -26,6 +26,10 @@ Ops (applied in the order given):
 * ``exactdedup``  keep one doc per identical text (minimum id)
 * ``neardedup``   MinHash-LSH pairs → connected components → keep
                   each cluster's minimum-id doc
+* ``basededup``   drop docs duplicating --base-path (exact + near
+                  vs an EXISTING corpus — the crawl-increment mode;
+                  new-vs-new dups kept, compose exactdedup/neardedup
+                  after it for within-batch dedup)
 * ``decontaminate`` drop docs sharing an 8-gram with --benchmark-file
                   (one benchmark text per line)
 * ``scrub``       PII redaction (emails/IPv4/phones)
@@ -52,7 +56,7 @@ from solrizer_spark.session import get_spark
 
 KNOWN_OPS = (
     "normalize", "quality", "fluency", "langs", "linededup", "exactdedup",
-    "neardedup", "decontaminate", "scrub", "mix", "chunk",
+    "neardedup", "basededup", "decontaminate", "scrub", "mix", "chunk",
 )
 
 
@@ -126,6 +130,20 @@ def apply_op(
         )
         comps = connected_components(pairs, algorithm=args.cc_algorithm)
         return dedup_keep_canonical(df, comps, id_col=id_col)
+    if op == "basededup":
+        from solrizer_spark.operators.dedup import dedup_against_base
+
+        base = df.sparkSession.read.parquet(args.base_path)
+        for col in (id_col, text_col):
+            if col not in base.columns:
+                raise ValueError(
+                    f"--base-path table is missing column {col!r} "
+                    f"(has {sorted(base.columns)})"
+                )
+        return dedup_against_base(
+            df, base.select(id_col, text_col), id_col=id_col,
+            text_col=text_col, threshold=args.near_threshold,
+        )
     if op == "decontaminate":
         from solrizer_spark.operators.decontam import flag_contaminated
 
@@ -164,6 +182,8 @@ def run_curate(spark, args) -> dict:
     if "decontaminate" in ops and not args.benchmark_file:
         # fail BEFORE the expensive upstream ops run, not at open(None)
         raise ValueError("op 'decontaminate' requires --benchmark-file")
+    if "basededup" in ops and not args.base_path:
+        raise ValueError("op 'basededup' requires --base-path")
     df = spark.read.parquet(args.input)
     for col in (args.id_col, args.text_col):
         if col not in df.columns:
@@ -215,6 +235,8 @@ def main() -> None:
     ap.add_argument("--cc-algorithm", choices=["label_propagation", "star"],
                     default="label_propagation")
     ap.add_argument("--benchmark-file", default=None)
+    ap.add_argument("--base-path", default=None,
+                    help="basededup op: parquet path of the existing corpus")
     ap.add_argument("--mix-source-col", default="lang")
     ap.add_argument("--mix-temperature", type=float, default=0.7)
     ap.add_argument("--chunk-tokens", type=int, default=512)

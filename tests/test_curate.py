@@ -17,7 +17,7 @@ def _args(**kw) -> argparse.Namespace:
         cc_algorithm="label_propagation", benchmark_file=None,
         mix_source_col="lang", mix_temperature=0.7, chunk_tokens=8,
         chunk_overlap=2, cpus=None, stats="full", report=None,
-        min_fluency=1e-4,
+        min_fluency=1e-4, base_path=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -158,3 +158,29 @@ def test_curate_fluency_op(spark, tmp_path):
     # gibberish transitions are all OOV (mean_p = 1e-6) -> dropped;
     # the bigram-less doc 10 passes by contract
     assert kept == {1, 2, 3, 4, 10}
+
+
+def test_curate_basededup_op(spark, tmp_path):
+    from curate import run_curate
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer")
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame([(1, body)], ["doc_id", "text"]) \
+        .write.parquet(base_path)
+    inc = str(tmp_path / "inc")
+    spark.createDataFrame(
+        [(10, body),                                   # exact dup
+         (11, " ".join(body.split()[:-1])),            # near dup
+         (12, "wholly new increment content with brand new vocabulary "
+              "sharing nothing at all with the base corpus text")],
+        ["doc_id", "text"],
+    ).write.parquet(inc)
+    out = str(tmp_path / "out")
+    run_curate(spark, _args(input=inc, output=out, ops="basededup",
+                            base_path=base_path, near_threshold=0.8))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {12}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires --base-path"):
+        run_curate(spark, _args(input=inc, output=out, ops="basededup"))
