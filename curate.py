@@ -182,8 +182,17 @@ def run_curate(spark, args) -> dict:
     if "decontaminate" in ops and not args.benchmark_file:
         # fail BEFORE the expensive upstream ops run, not at open(None)
         raise ValueError("op 'decontaminate' requires --benchmark-file")
-    if "basededup" in ops and not args.base_path:
-        raise ValueError("op 'basededup' requires --base-path")
+    if "basededup" in ops:
+        if not args.base_path:
+            raise ValueError("op 'basededup' requires --base-path")
+        # validate the base table BEFORE the expensive upstream ops run
+        base_cols = spark.read.parquet(args.base_path).columns
+        for col in (args.id_col, args.text_col):
+            if col not in base_cols:
+                raise ValueError(
+                    f"--base-path table is missing column {col!r} "
+                    f"(has {sorted(base_cols)})"
+                )
     df = spark.read.parquet(args.input)
     for col in (args.id_col, args.text_col):
         if col not in df.columns:

@@ -155,8 +155,15 @@ def minhash_lsh_pairs(
     max_bucket: int = 64,
     persist_base: bool = True,
     signatures_path: str | None = None,
+    candidate_filter=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
+
+    ``candidate_filter`` (optional): callable ``(id_a Column, id_b
+    Column) -> boolean Column`` applied to candidate pairs BEFORE the
+    exact-Jaccard verification join — callers that only want a subset
+    (e.g. cross-side pairs in incremental dedup) drop the rest before
+    the expensive shingle re-join instead of after.
 
     Returns ``(id_a, id_b, jaccard_sim)`` with ``id_a < id_b`` and
     ``jaccard_sim ≥ threshold``.
@@ -234,6 +241,8 @@ def minhash_lsh_pairs(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
+    if candidate_filter is not None:
+        pairs = pairs.where(candidate_filter(F.col("id_a"), F.col("id_b")))
     # exact verification on candidates only
     sh = base.select("_id", "_sh")
     verified = (
@@ -671,19 +680,22 @@ def dedup_against_base(
 
     Two stages: exact (text-hash LEFT ANTI join — nulls pass, a null
     can't duplicate anything) and, when ``threshold`` is not None,
-    near (MinHash+LSH): both sides are remapped into disjoint
-    parity id spaces (``2i`` new / ``2i+1`` base — ids may overlap
-    between the tables; caller ids must fit 62 bits), run through the
-    oracle-tested :func:`minhash_lsh_pairs`, and only CROSS-side
-    pairs flag a new row. New-vs-new duplicates are intentionally
+    near (MinHash+LSH): both sides get side-tagged string keys
+    (``n:<id>`` / ``b:<id>`` — any id type, overlapping id spaces
+    fine), run through the oracle-tested :func:`minhash_lsh_pairs`
+    with a pre-verification filter keeping only CROSS-side candidate
+    pairs, and a flagged cross pair drops its new row. New-vs-new duplicates are intentionally
     kept — dedup within the increment composes separately (job.py
     --dedup), and dropping them here would make the result depend on
     increment batching.
 
     Scale: the exact stage is one hash anti-join; the near stage
-    reuses the capped, payload-pruned LSH machinery — base signatures
-    can go to a durable table via the same ``signatures_path``
-    pattern when the base is 10^12 rows."""
+    reuses the capped, payload-pruned LSH machinery, with base×base
+    candidates discarded BEFORE the exact-Jaccard verification join.
+    Honest limit: base shingles/signatures/bands are still computed
+    per increment — cross-increment signature reuse needs a durable
+    base-signature table keyed by original ids and an asymmetric
+    banding join, a documented future path, not this API."""
     text_hash = F.md5(F.col(text_col))
     base_hashes = (
         base_df.where(F.col(text_col).isNotNull())
@@ -696,34 +708,41 @@ def dedup_against_base(
     if threshold is None:
         return survivors
 
-    two_id = (F.col(id_col) * 2).alias(id_col)
-    two_id_1 = (F.col(id_col) * 2 + 1).alias(id_col)
+    # side-tagged STRING keys, not id arithmetic: works for any id
+    # type (curate's default id is the url string; numeric remaps
+    # crash string ids under ANSI, overflow int32 ids, and lose
+    # precision above 2^52 through double division — review findings)
+    key_new = F.concat(F.lit("n:"), F.col(id_col).cast("string"))
+    key_base = F.concat(F.lit("b:"), F.col(id_col).cast("string"))
     tagged = (
         survivors.where(F.col(text_col).isNotNull())
-        .select(two_id, text_col)
+        .select(key_new.alias("__k"), text_col)
         .unionByName(
-            base_df.where(F.col(text_col).isNotNull()).select(two_id_1, text_col)
+            base_df.where(F.col(text_col).isNotNull())
+            .select(key_base.alias("__k"), text_col)
         )
     )
+    side = lambda c: F.substring(c, 1, 1)  # noqa: E731
     pairs = minhash_lsh_pairs(
         tagged,
-        id_col=id_col,
+        id_col="__k",
         text_col=text_col,
         shingle_n=shingle_n,
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
         max_bucket=max_bucket,
+        # drop same-side candidates BEFORE the verification join: the
+        # base x base population dominates and is not wanted here
+        candidate_filter=lambda a, b: side(a) != side(b),
     )
-    cross = pairs.where(F.pmod("id_a", F.lit(2)) != F.pmod("id_b", F.lit(2)))
-    flagged_new = cross.select(
-        (
-            F.when(F.pmod("id_a", F.lit(2)) == 0, F.col("id_a")).otherwise(
-                F.col("id_b")
-            )
-            / 2
-        )
-        .cast("long")
-        .alias(id_col)
+    flagged_keys = pairs.select(
+        F.when(F.col("id_a").startswith("n:"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("__k")
     ).distinct()
-    return survivors.join(flagged_new, id_col, "left_anti")
+    return (
+        survivors.withColumn("__k", key_new)
+        .join(flagged_keys, "__k", "left_anti")
+        .drop("__k")
+    )

@@ -437,3 +437,26 @@ def test_dedup_against_base_incremental(spark):
     kept_exact = {r["doc_id"]
                   for r in dedup_against_base(new, base, threshold=None).collect()}
     assert kept_exact == {11, 12, 13, 14}
+
+
+def test_dedup_against_base_string_ids(spark):
+    """Review regression: curate's default id is the url STRING — the
+    old numeric parity remap crashed under ANSI. Side-tagged keys
+    must handle any id type."""
+    from solrizer_spark.operators.dedup import dedup_against_base
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer")
+    base = spark.createDataFrame(
+        [("https://a.org/1", body)], ["url", "text"]
+    )
+    new = spark.createDataFrame(
+        [("https://b.org/x", body),                      # exact dup
+         ("https://b.org/y", " ".join(body.split()[:-1])),  # near dup
+         ("https://b.org/z", "fresh words entirely unrelated to anything "
+                             "in the base corpus with new vocabulary")],
+        ["url", "text"],
+    )
+    kept = {r["url"] for r in
+            dedup_against_base(new, base, id_col="url").collect()}
+    assert kept == {"https://b.org/z"}
