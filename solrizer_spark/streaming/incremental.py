@@ -237,3 +237,52 @@ def stream_warc_extract(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_dedup_against_base(
+    spark: SparkSession,
+    input_path: str,
+    base_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    threshold: float | None = 0.8,
+    await_termination: bool = True,
+):
+    """Streaming crawl-increment dedup: each micro-batch of extracted
+    docs is filtered against the STATIC base corpus with
+    :func:`~solrizer_spark.operators.dedup.dedup_against_base` inside
+    ``foreachBatch`` (the LSH near stage needs multi-pass batch
+    semantics — persist + three joins — which a streaming plan can't
+    express, so the batch operator runs per micro-batch; the batch df
+    is small by definition, the base is the big side). Checkpointed
+    file progress makes AvailableNow invocations catch-up passes, same
+    as the other incremental modes. Cross-BATCH new-vs-new dups are
+    not dropped here — compose ``stream_extract_dedup``'s watermarked
+    url dedup upstream, or batch dedup downstream."""
+    from pyspark.sql import functions as F  # noqa: F401 (sink scope)
+
+    from solrizer_spark.operators.dedup import dedup_against_base
+
+    base = spark.read.parquet(base_path).select(id_col, text_col)
+    stream = spark.readStream.schema(
+        spark.read.parquet(input_path).schema
+    ).parquet(input_path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        kept = dedup_against_base(
+            batch_df, base, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+        kept.write.mode("append").parquet(output_path)
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -207,3 +207,41 @@ def test_stream_stateful_domain_counts(spark, tmp_path):
     t2 = totals()
     # cumulative: every domain's total doubled via checkpointed state
     assert t2 == {d: 2 * n for d, n in t1.items()}
+
+
+def test_stream_dedup_against_base(spark, tmp_path):
+    """Streaming increment vs static base: dups dropped per micro-
+    batch; a second AvailableNow invocation processes only new files
+    (checkpointed progress) and appends only new survivors."""
+    from solrizer_spark.streaming.incremental import stream_dedup_against_base
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer")
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [("https://base.org/1", body)], ["url", "extracted_text"]
+    ).write.parquet(base_path)
+
+    inc = str(tmp_path / "inc")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("https://n.org/a", body),                       # exact dup
+         ("https://n.org/b", "fresh streaming content with wholly new "
+                             "vocabulary unlike the base corpus rows")],
+        ["url", "extracted_text"],
+    ).write.parquet(inc)
+    stream_dedup_against_base(spark, inc, base_path, out, ckpt)
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"https://n.org/b"}
+
+    # second batch of files: near dup + fresh; only fresh appended
+    spark.createDataFrame(
+        [("https://n.org/c", " ".join(body.split()[:-1])),
+         ("https://n.org/d", "another new document with its own words "
+                             "sharing nothing with the existing base")],
+        ["url", "extracted_text"],
+    ).write.mode("append").parquet(inc)
+    stream_dedup_against_base(spark, inc, base_path, out, ckpt)
+    kept2 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == {"https://n.org/b", "https://n.org/d"}
