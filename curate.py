@@ -207,10 +207,20 @@ def run_curate(spark, args) -> dict:
         if args.stats == "full":
             entry["rows_after"] = df.count()
         stats["ops"].append(entry)
-    df.write.mode("overwrite").parquet(args.output)
+    if args.output_format == "jsonl":
+        # training-export shape: sharded gzip JSONL (one doc per line),
+        # the standard LM-training input format; Spark's JSON sink is
+        # JSONL per part file already
+        df.write.mode("overwrite").option("compression", "gzip").json(args.output)
+    else:
+        df.write.mode("overwrite").parquet(args.output)
     for frame in persisted:  # release caches pinned by dedup ops
         frame.unpersist()
-    written = spark.read.parquet(args.output)
+    written = (
+        spark.read.json(args.output)
+        if args.output_format == "jsonl"
+        else spark.read.parquet(args.output)
+    )
     stats["rows_out"] = written.count()
     if args.report:
         from solrizer_spark.operators.report import (
@@ -252,6 +262,9 @@ def main() -> None:
     ap.add_argument("--chunk-overlap", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--stats", choices=["full", "none"], default="full")
+    ap.add_argument("--output-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="jsonl: sharded gzip JSON-lines training export")
     ap.add_argument("--report", default=None,
                     help="write a markdown corpus card of the OUTPUT here")
     args = ap.parse_args()

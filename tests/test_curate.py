@@ -17,7 +17,7 @@ def _args(**kw) -> argparse.Namespace:
         cc_algorithm="label_propagation", benchmark_file=None,
         mix_source_col="lang", mix_temperature=0.7, chunk_tokens=8,
         chunk_overlap=2, cpus=None, stats="full", report=None,
-        min_fluency=1e-4, base_path=None,
+        min_fluency=1e-4, base_path=None, output_format="parquet",
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -184,3 +184,28 @@ def test_curate_basededup_op(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="requires --base-path"):
         run_curate(spark, _args(input=inc, output=out, ops="basededup"))
+
+
+def test_curate_jsonl_export(spark, tmp_path):
+    import glob
+    import gzip
+    import json as _json
+
+    from curate import run_curate
+
+    path = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "some training text here"), (2, "another document of text")],
+        ["doc_id", "text"],
+    ).write.parquet(path)
+    out = str(tmp_path / "out")
+    stats = run_curate(spark, _args(input=path, output=out, ops="normalize",
+                                    output_format="jsonl", stats="none"))
+    assert stats["rows_out"] == 2
+    files = glob.glob(out + "/*.json.gz")
+    assert files, "expected gzip jsonl shards"
+    rows = []
+    for f in files:
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    assert {r["doc_id"] for r in rows} == {1, 2}
