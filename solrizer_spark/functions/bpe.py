@@ -223,3 +223,82 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     restored."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["left"], r["right"]) for r in rows]
+
+
+# --------------------------------------------------------------------------
+# token-id encoding (corpus → training-ready input_ids)
+# --------------------------------------------------------------------------
+
+#: default special tokens, ids 0..2
+SPECIALS = ("<pad>", "<unk>", "<eos>")
+
+
+def build_vocab(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    specials: Sequence[str] = SPECIALS,
+) -> DataFrame:
+    """Vocabulary table ``(token, id)``: specials take ids
+    ``0..len(specials)-1``, then corpus tokens ranked by (freq desc,
+    token asc) — deterministic under any partitioning. The BPE token
+    set is bounded by observed characters + one entry per merge, so
+    the ranking window runs over a vocabulary-sized table, not the
+    corpus."""
+    spark = df.sparkSession
+    counts = (
+        bpe_tokenize(df, merges, text_col)
+        .select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(~F.col("token").isin(*specials))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = counts.select(
+        "token",
+        (F.row_number().over(w) - 1 + len(specials)).cast("long").alias("id"),
+    )
+    special_rows = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(specials)], "token string, id long"
+    )
+    return special_rows.unionByName(ranked)
+
+
+def encode_ids(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    vocab_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "input_ids",
+    unk_id: int = 1,
+    append_eos: int | None = 2,
+) -> DataFrame:
+    """Add ``out_col: array<long>`` — the document's BPE token ids in
+    order, unknown tokens → ``unk_id``, optional ``append_eos`` id at
+    the end. The vocab joins by shuffle on the exploded token stream
+    (vocab is small but the token stream is corpus-sized; AQE
+    broadcasts the vocab side when it fits). Null text → null ids."""
+    toks = bpe_tokenize(df, merges, text_col).select(
+        id_col, F.posexplode("bpe_tokens").alias("pos", "token")
+    )
+    joined = toks.join(F.broadcast(vocab_df), "token", "left").select(
+        id_col, "pos", F.coalesce(F.col("id"), F.lit(unk_id)).alias("tid")
+    )
+    ids = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias(out_col)
+    )
+    if append_eos is not None:
+        ids = ids.select(
+            id_col,
+            F.concat(F.col(out_col), F.array(F.lit(append_eos).cast("long"))).alias(
+                out_col
+            ),
+        )
+    # null-text docs keep a row with null ids
+    return df.select(id_col).join(ids, id_col, "left")

@@ -140,3 +140,45 @@ def test_merge_table_roundtrip(spark, tmp_path):
     a = bpe_tokenize(df, merges, "text").collect()[0]["bpe_tokens"]
     b = bpe_tokenize(df, load_merges(spark, path), "text").collect()[0]["bpe_tokens"]
     assert a == b == ["low", "est" + END_OF_WORD]
+
+
+def test_build_vocab_and_encode_ids(spark):
+    from solrizer_spark.functions.bpe import SPECIALS, build_vocab, encode_ids
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w for w, f in SENNRICH for _ in range(f)))
+         for i in range(2)] + [(9, None)],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(SENNRICH, 5)
+    vocab = build_vocab(df, merges)
+    rows = {r["token"]: r["id"] for r in vocab.collect()}
+    # specials pinned at 0..2; real tokens start after
+    assert [rows[s] for s in SPECIALS] == [0, 1, 2]
+    assert min(v for t, v in rows.items() if t not in SPECIALS) == len(SPECIALS)
+    assert len(set(rows.values())) == len(rows)  # ids unique
+
+    out = {r["doc_id"]: r["input_ids"]
+           for r in encode_ids(df, merges, vocab).collect()}
+    assert out[9] is None                      # null text -> null ids
+    assert out[0] == out[1]                    # identical docs, same ids
+    assert out[0][-1] == 2                     # eos appended
+    # decode round-trip: ids -> tokens reproduces the token stream
+    inv = {v: t for t, v in rows.items()}
+    from solrizer_spark.functions.bpe import bpe_tokenize
+    toks = bpe_tokenize(df.where(F.col("doc_id") == 0), merges, "text") \
+        .collect()[0]["bpe_tokens"]
+    assert [inv[i] for i in out[0][:-1]] == toks
+
+
+def test_encode_ids_unknown_token_maps_to_unk(spark):
+    from solrizer_spark.functions.bpe import build_vocab, encode_ids
+
+    train = spark.createDataFrame([(1, "aa aa bb")], ["doc_id", "text"])
+    merges = learn_bpe([("aa", 4), ("bb", 2)], 4)
+    vocab = build_vocab(train, merges)
+    new = spark.createDataFrame([(5, "aa zz")], ["doc_id", "text"])
+    ids = encode_ids(new, merges, vocab, append_eos=None) \
+        .collect()[0]["input_ids"]
+    known = {r["id"] for r in vocab.collect()}
+    assert ids[0] in known and 1 in ids  # 'z' chars unseen -> unk(1)
