@@ -217,7 +217,9 @@ def run_curate(spark, args) -> dict:
     for frame in persisted:  # release caches pinned by dedup ops
         frame.unpersist()
     written = (
-        spark.read.json(args.output)
+        # explicit schema: inference crashes on empty output and the
+        # JSON writer omits null fields (all-null columns would vanish)
+        spark.read.schema(df.schema).json(args.output)
         if args.output_format == "jsonl"
         else spark.read.parquet(args.output)
     )

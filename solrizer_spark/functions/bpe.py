@@ -276,11 +276,13 @@ def encode_ids(
     unk_id: int = 1,
     append_eos: int | None = 2,
 ) -> DataFrame:
-    """Add ``out_col: array<long>`` — the document's BPE token ids in
-    order, unknown tokens → ``unk_id``, optional ``append_eos`` id at
-    the end. The vocab joins by shuffle on the exploded token stream
-    (vocab is small but the token stream is corpus-sized; AQE
-    broadcasts the vocab side when it fits). Null text → null ids."""
+    """Add ``out_col: array<long>`` to ``df`` (all input columns
+    kept) — the document's BPE token ids in order, unknown tokens →
+    ``unk_id``, optional ``append_eos`` id at the end. The vocab side
+    is BROADCAST (bounded by construction: observed characters + one
+    entry per merge + specials). Null text → null ids; empty/
+    token-free text → ``[]`` (plus eos when enabled), so present-but-
+    empty docs stay distinguishable from null ones."""
     toks = bpe_tokenize(df, merges, text_col).select(
         id_col, F.posexplode("bpe_tokens").alias("pos", "token")
     )
@@ -291,14 +293,18 @@ def encode_ids(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "tid"))),
             lambda s: s["tid"],
-        ).alias(out_col)
+        ).alias("__ids")
     )
+    empty = F.array().cast("array<long>")
+    body = F.coalesce(F.col("__ids"), empty)
     if append_eos is not None:
-        ids = ids.select(
-            id_col,
-            F.concat(F.col(out_col), F.array(F.lit(append_eos).cast("long"))).alias(
-                out_col
-            ),
+        body = F.concat(body, F.array(F.lit(append_eos).cast("long")))
+    return (
+        df.join(ids, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("array<long>"))
+            .otherwise(body),
         )
-    # null-text docs keep a row with null ids
-    return df.select(id_col).join(ids, id_col, "left")
+        .drop("__ids")
+    )

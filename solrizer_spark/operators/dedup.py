@@ -672,6 +672,7 @@ def dedup_against_base(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 64,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Incremental dedup: the rows of ``new_df`` (a crawl increment)
     that duplicate nothing in ``base_df`` (the existing corpus) —
@@ -732,6 +733,7 @@ def dedup_against_base(
         bands=bands,
         threshold=threshold,
         max_bucket=max_bucket,
+        persist_base=persist_base,
         # drop same-side candidates BEFORE the verification join: the
         # base x base population dominates and is not wanted here
         candidate_filter=lambda a, b: side(a) != side(b),

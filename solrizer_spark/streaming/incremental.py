@@ -260,9 +260,16 @@ def stream_dedup_against_base(
     file progress makes AvailableNow invocations catch-up passes, same
     as the other incremental modes. Cross-BATCH new-vs-new dups are
     not dropped here — compose ``stream_extract_dedup``'s watermarked
-    url dedup upstream, or batch dedup downstream."""
-    from pyspark.sql import functions as F  # noqa: F401 (sink scope)
+    url dedup upstream, or batch dedup downstream.
 
+    Idempotence + memory: each batch writes OVERWRITE into its own
+    ``batch_id=<n>`` subdirectory, so a micro-batch retried after a
+    crash-between-write-and-checkpoint replaces its own output instead
+    of appending duplicates (read the sink with partition discovery:
+    ``spark.read.parquet(output_path)``); the LSH signature cache is
+    disabled per batch (``persist_base=False``) — a foreachBatch sink
+    cannot release a persist it leaves behind, and each invocation
+    would pin another base-sized cache."""
     from solrizer_spark.operators.dedup import dedup_against_base
 
     base = spark.read.parquet(base_path).select(id_col, text_col)
@@ -273,9 +280,11 @@ def stream_dedup_against_base(
     def sink(batch_df, batch_id: int) -> None:
         kept = dedup_against_base(
             batch_df, base, id_col=id_col, text_col=text_col,
-            threshold=threshold,
+            threshold=threshold, persist_base=False,
         )
-        kept.write.mode("append").parquet(output_path)
+        kept.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
 
     query = (
         stream.writeStream.foreachBatch(sink)

@@ -182,3 +182,20 @@ def test_encode_ids_unknown_token_maps_to_unk(spark):
         .collect()[0]["input_ids"]
     known = {r["id"] for r in vocab.collect()}
     assert ids[0] in known and 1 in ids  # 'z' chars unseen -> unk(1)
+
+
+def test_encode_ids_keeps_columns_and_empty_text(spark):
+    """Review regressions: encode_ids keeps input columns; empty text
+    gets [] (+eos), distinguishable from null text."""
+    from solrizer_spark.functions.bpe import build_vocab, encode_ids
+
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en"), (2, "", "en"), (3, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    merges = learn_bpe([("aa", 4), ("bb", 2)], 4)
+    vocab = build_vocab(df, merges)
+    out = {r["doc_id"]: r for r in encode_ids(df, merges, vocab).collect()}
+    assert out[1]["lang"] == "en" and out[1]["text"] == "aa bb"  # cols kept
+    assert out[2]["input_ids"] == [2]   # empty text -> [eos]
+    assert out[3]["input_ids"] is None  # null text -> null
