@@ -308,3 +308,82 @@ def encode_ids(
         )
         .drop("__ids")
     )
+
+
+def pack_examples(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    vocab_df: DataFrame,
+    context_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    pad_id: int = 0,
+    eos_id: int = 2,
+    unk_id: int = 1,
+) -> DataFrame:
+    """GPU-ready training rows: encode every doc to token ids, pack
+    docs into ~``context_len``-token bins with the deterministic
+    cumulative packer (``sampling.pack_sequences`` — bin membership is
+    reproducible under any partitioning, unlike greedy first-fit),
+    concatenate each bin's ids in id order, then truncate/pad to
+    exactly ``context_len`` with ``pad_id``.
+
+    Emits ``(group, bin_id, input_ids array<long>, n_real_tokens,
+    doc_spans array<struct<doc, start, len>>)`` — the spans table is
+    what attention-reset masking consumes downstream. Docs longer than
+    the context window should be chunked FIRST (``chunk_text``); here
+    an oversized doc simply truncates at the bin boundary like any
+    other overflow. One encode pass + one window shuffle + one
+    groupBy."""
+    from ..operators.sampling import pack_sequences
+
+    enc = encode_ids(
+        df, merges, vocab_df, text_col=text_col, id_col=id_col,
+        unk_id=unk_id, append_eos=eos_id,
+    ).where(F.col("input_ids").isNotNull())
+    grp = F.col(group_col) if group_col else F.lit("all")
+    sized = enc.select(
+        grp.alias("__grp"), id_col, "input_ids",
+        F.size("input_ids").cast("long").alias("__n"),
+    )
+    binned = pack_sequences(
+        sized, "__grp", [F.col(id_col).asc()], "__n", capacity=context_len
+    )
+    packed = (
+        binned.groupBy("__grp", "bin_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("d"), "input_ids", "__n"))
+            ).alias("docs")
+        )
+        .select(
+            F.col("__grp").alias("group"),
+            "bin_id",
+            F.flatten(F.transform(F.col("docs"), lambda s: s["input_ids"])).alias(
+                "__flat"
+            ),
+            F.transform(
+                F.col("docs"),
+                lambda s, i: F.struct(
+                    s["d"].alias("doc"),
+                    F.aggregate(
+                        F.slice(F.transform(F.col("docs"), lambda x: x["__n"]), 1, i),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("start"),
+                    s["__n"].alias("len"),
+                ),
+            ).alias("doc_spans"),
+        )
+    )
+    pad = F.array_repeat(F.lit(pad_id).cast("long"), context_len)
+    return packed.select(
+        "group",
+        "bin_id",
+        F.slice(F.concat(F.col("__flat"), pad), 1, context_len).alias("input_ids"),
+        F.least(F.size("__flat"), F.lit(context_len)).cast("long").alias(
+            "n_real_tokens"
+        ),
+        "doc_spans",
+    )

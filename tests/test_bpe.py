@@ -199,3 +199,51 @@ def test_encode_ids_keeps_columns_and_empty_text(spark):
     assert out[1]["lang"] == "en" and out[1]["text"] == "aa bb"  # cols kept
     assert out[2]["input_ids"] == [2]   # empty text -> [eos]
     assert out[3]["input_ids"] is None  # null text -> null
+
+
+def test_pack_examples_training_rows(spark):
+    from solrizer_spark.functions.bpe import (
+        build_vocab,
+        encode_ids,
+        pack_examples,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "aa bb aa") for i in range(1, 5)], ["doc_id", "text"]
+    )
+    merges = learn_bpe([("aa", 9), ("bb", 5)], 4)
+    vocab = build_vocab(df, merges)
+    enc = encode_ids(df, merges, vocab).collect()
+    per_doc = len(enc[0]["input_ids"])  # 3 tokens + eos = 4
+
+    out = pack_examples(df, merges, vocab, context_len=8).collect()
+    rows = {r["bin_id"]: r for r in out}
+    # 4 docs x 4 tokens = 16 tokens -> bins of 8 -> 2 full bins
+    assert set(rows) == {0, 1}
+    for r in out:
+        assert len(r["input_ids"]) == 8 and r["n_real_tokens"] == 8
+        assert [s["doc"] for s in r["doc_spans"]] in ([1, 2], [3, 4])
+        assert [s["start"] for s in r["doc_spans"]] == [0, per_doc]
+        assert all(s["len"] == per_doc for s in r["doc_spans"])
+
+    # partitioning invariance: same bins under a different layout
+    out2 = pack_examples(df.repartition(5), merges, vocab, context_len=8).collect()
+    assert {r["bin_id"]: r["input_ids"] for r in out2} == {
+        r["bin_id"]: r["input_ids"] for r in out
+    }
+
+
+def test_pack_examples_padding_and_null(spark):
+    from solrizer_spark.functions.bpe import build_vocab, pack_examples
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None)], "doc_id long, text string"
+    )
+    merges = learn_bpe([("aa", 9)], 2)
+    vocab = build_vocab(df, merges)
+    out = pack_examples(df, merges, vocab, context_len=6, pad_id=0).collect()
+    assert len(out) == 1  # null-text doc contributes nothing
+    r = out[0]
+    assert len(r["input_ids"]) == 6
+    assert r["n_real_tokens"] == 2  # 'aa' token + eos
+    assert r["input_ids"][r["n_real_tokens"]:] == [0] * 4  # padded
