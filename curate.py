@@ -133,13 +133,8 @@ def apply_op(
     if op == "basededup":
         from solrizer_spark.operators.dedup import dedup_against_base
 
+        # schema validated up front in run_curate (fail-early rule)
         base = df.sparkSession.read.parquet(args.base_path)
-        for col in (id_col, text_col):
-            if col not in base.columns:
-                raise ValueError(
-                    f"--base-path table is missing column {col!r} "
-                    f"(has {sorted(base.columns)})"
-                )
         return dedup_against_base(
             df, base.select(id_col, text_col), id_col=id_col,
             text_col=text_col, threshold=args.near_threshold,

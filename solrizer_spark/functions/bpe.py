@@ -86,29 +86,53 @@ def learn_bpe(
 
     Stops early when no adjacent pair occurs twice — merging a
     count-1 pair would just memorize single words."""
-    vocab: dict[tuple[str, ...], int] = {}
+    # word list + incrementally maintained pair counts: each merge
+    # touches only the words CONTAINING the merged pair (indexed via
+    # pair_words), so training is ~O(merges · affected-word length),
+    # not O(merges · vocab) — the full-recount form is quadratic at
+    # the 50k-word / 1k-merge defaults (review finding). Count updates
+    # are commutative integer adds, so iteration order over the
+    # affected set cannot change the result; selection stays the
+    # deterministic (max count, lexicographically smallest) rule.
+    agg: dict[tuple[str, ...], int] = {}
     for word, freq in word_freqs:
         if word:
-            vocab[tuple(word) + (END_OF_WORD,)] = vocab.get(
-                tuple(word) + (END_OF_WORD,), 0
-            ) + int(freq)
+            key = tuple(word) + (END_OF_WORD,)
+            agg[key] = agg.get(key, 0) + int(freq)
+    words: list[list] = [[list(k), f] for k, f in agg.items()]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word(wi: int, sign: int) -> None:
+        symbols, freq = words[wi]
+        for a, b in zip(symbols, symbols[1:]):
+            p = (a, b)
+            c = pair_counts.get(p, 0) + sign * freq
+            if c:
+                pair_counts[p] = c
+            else:
+                pair_counts.pop(p, None)
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wi)
+
+    for wi in range(len(words)):
+        add_word(wi, +1)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for symbols, freq in vocab.items():
-            for a, b in zip(symbols, symbols[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
         if not pair_counts:
             break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < 2:
+        pair, count = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if count < 2:
             break
-        pair = best[0]
         merges.append(pair)
         merged = pair[0] + pair[1]
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for symbols, freq in vocab.items():
+        for wi in pair_words.pop(pair, set()):
+            symbols = words[wi][0]
+            if pair not in zip(symbols, symbols[1:]):
+                continue  # stale index entry (word since rewritten)
+            add_word(wi, -1)
             out: list[str] = []
             i = 0
             while i < len(symbols):
@@ -122,9 +146,8 @@ def learn_bpe(
                 else:
                     out.append(symbols[i])
                     i += 1
-            key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + freq
-        vocab = new_vocab
+            words[wi][0] = out
+            add_word(wi, +1)
     return merges
 
 
@@ -331,10 +354,13 @@ def pack_examples(
 
     Emits ``(group, bin_id, input_ids array<long>, n_real_tokens,
     doc_spans array<struct<doc, start, len>>)`` — the spans table is
-    what attention-reset masking consumes downstream. Docs longer than
-    the context window should be chunked FIRST (``chunk_text``); here
-    an oversized doc simply truncates at the bin boundary like any
-    other overflow. One encode pass + one window shuffle + one
+    what attention-reset masking consumes downstream, and it is
+    CLIPPED to the window: a doc straddling the bin boundary keeps
+    only its in-window prefix (span ``len`` reduced accordingly), and
+    its overflow tokens are DROPPED, not carried to the next bin —
+    the simple truncation packing scheme. Pre-chunk with
+    ``chunk_text`` to bound that loss (a straddling tail is at most
+    one doc per bin). One encode pass + one window shuffle + one
     groupBy."""
     from ..operators.sampling import pack_sequences
 
@@ -378,6 +404,17 @@ def pack_examples(
         )
     )
     pad = F.array_repeat(F.lit(pad_id).cast("long"), context_len)
+    # clip spans to the truncated window so metadata always describes
+    # input_ids exactly: drop spans starting at/after the boundary,
+    # shorten the straddling one (review finding)
+    clipped = F.transform(
+        F.filter(F.col("doc_spans"), lambda sp: sp["start"] < context_len),
+        lambda sp: F.struct(
+            sp["doc"].alias("doc"),
+            sp["start"].alias("start"),
+            F.least(sp["len"], F.lit(context_len) - sp["start"]).alias("len"),
+        ),
+    )
     return packed.select(
         "group",
         "bin_id",
@@ -385,5 +422,5 @@ def pack_examples(
         F.least(F.size("__flat"), F.lit(context_len)).cast("long").alias(
             "n_real_tokens"
         ),
-        "doc_spans",
+        clipped.alias("doc_spans"),
     )

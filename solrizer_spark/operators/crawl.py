@@ -108,7 +108,10 @@ def fetch_schedule_with_delays(
     if default_per_slot < 1:
         raise ValueError(f"default_per_slot must be >= 1, got {default_per_slot}")
     out = df.withColumn("host", url_host(url_col))
-    dim = delays_df.groupBy(F.col("host").alias("__dh")).agg(
+    # lowercase the dim key: url_host() lowercases, and a mixed-case
+    # robots-fetch log must not silently lose its delay to a case
+    # mismatch (review finding)
+    dim = delays_df.groupBy(F.lower(F.col("host")).alias("__dh")).agg(
         F.max("crawl_delay").alias("__d")
     )
     counts = _host_counts(out)

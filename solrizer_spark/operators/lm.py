@@ -68,6 +68,40 @@ def train_bigram_model(
     )
 
 
+def _fold_scores(scored, df: DataFrame, id_col: str) -> DataFrame:
+    """Shared per-doc fold for both scorers — THE bit-parity-critical
+    code (position-sorted left fold, never ``F.avg``), kept in exactly
+    one place so the two scorers cannot drift. Appends null-rate rows
+    for docs with no bigram."""
+    folded = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").alias("n_oov"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        ).alias("sum_p"),
+    )
+    out = folded.select(
+        id_col,
+        "n_bigrams",
+        (F.col("n_oov") / F.col("n_bigrams")).alias("oov_rate"),
+        (F.col("sum_p") / F.col("n_bigrams")).alias("mean_p"),
+    )
+    empties = df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+    return out.unionByName(
+        empties.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("oov_rate"),
+            F.lit(None).cast("double").alias("mean_p"),
+        )
+    )
+
+
 def lm_score(
     df: DataFrame,
     model: DataFrame,
@@ -92,34 +126,7 @@ def lm_score(
             F.coalesce(F.col("p"), F.lit(float(oov_p))).alias("p"),
         )
     )
-    folded = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("oov").alias("n_oov"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "p"))),
-                lambda s: s["p"],
-            ),
-            F.lit(0.0),
-            lambda acc, p: acc + p,
-        ).alias("sum_p"),
-    )
-    out = folded.select(
-        id_col,
-        "n_bigrams",
-        (F.col("n_oov") / F.col("n_bigrams")).alias("oov_rate"),
-        (F.col("sum_p") / F.col("n_bigrams")).alias("mean_p"),
-    )
-    # docs too short to have a bigram still get a row
-    empties = df.select(id_col).join(out.select(id_col), id_col, "left_anti")
-    return out.unionByName(
-        empties.select(
-            id_col,
-            F.lit(0).cast("long").alias("n_bigrams"),
-            F.lit(None).cast("double").alias("oov_rate"),
-            F.lit(None).cast("double").alias("mean_p"),
-        )
-    )
+    return _fold_scores(scored, df, id_col)
 
 
 def train_unigram_model(
@@ -183,30 +190,4 @@ def lm_score_backoff(
             ).alias("p"),
         )
     )
-    folded = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("oov").alias("n_oov"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "p"))),
-                lambda s: s["p"],
-            ),
-            F.lit(0.0),
-            lambda acc, p: acc + p,
-        ).alias("sum_p"),
-    )
-    out = folded.select(
-        id_col,
-        "n_bigrams",
-        (F.col("n_oov") / F.col("n_bigrams")).alias("oov_rate"),
-        (F.col("sum_p") / F.col("n_bigrams")).alias("mean_p"),
-    )
-    empties = df.select(id_col).join(out.select(id_col), id_col, "left_anti")
-    return out.unionByName(
-        empties.select(
-            id_col,
-            F.lit(0).cast("long").alias("n_bigrams"),
-            F.lit(None).cast("double").alias("oov_rate"),
-            F.lit(None).cast("double").alias("mean_p"),
-        )
-    )
+    return _fold_scores(scored, df, id_col)

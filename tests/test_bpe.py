@@ -247,3 +247,26 @@ def test_pack_examples_padding_and_null(spark):
     assert len(r["input_ids"]) == 6
     assert r["n_real_tokens"] == 2  # 'aa' token + eos
     assert r["input_ids"][r["n_real_tokens"]:] == [0] * 4  # padded
+
+
+def test_pack_examples_clips_straddling_spans(spark):
+    """Review regression: a doc straddling the bin boundary keeps only
+    its in-window prefix in doc_spans — metadata always describes
+    input_ids exactly (start+len <= context_len)."""
+    from solrizer_spark.functions.bpe import build_vocab, pack_examples
+
+    # doc1: 3 tokens+eos=4, doc2: 5 tokens+eos=6 -> ctx 8: doc2 straddles
+    df = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "aa aa aa aa aa")], ["doc_id", "text"]
+    )
+    merges = learn_bpe([("aa", 9)], 2)
+    vocab = build_vocab(df, merges)
+    out = {r["bin_id"]: r for r in
+           pack_examples(df, merges, vocab, context_len=8).collect()}
+    spans0 = out[0]["doc_spans"]
+    assert [(s["doc"], s["start"], s["len"]) for s in spans0] == [
+        (1, 0, 4), (2, 4, 4),   # doc2 clipped from 6 to 4
+    ]
+    for r in out.values():
+        for s in r["doc_spans"]:
+            assert s["start"] + s["len"] <= 8
