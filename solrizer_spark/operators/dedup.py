@@ -693,10 +693,11 @@ def dedup_against_base(
     Scale: the exact stage is one hash anti-join; the near stage
     reuses the capped, payload-pruned LSH machinery, with base×base
     candidates discarded BEFORE the exact-Jaccard verification join.
-    Honest limit: base shingles/signatures/bands are still computed
-    per increment — cross-increment signature reuse needs a durable
-    base-signature table keyed by original ids and an asymmetric
-    banding join, a documented future path, not this API."""
+    Base shingles/signatures are recomputed per call here — for
+    repeated increments against the same base, build the durable
+    index ONCE with :func:`write_lsh_index` and use
+    :func:`dedup_against_index` (equivalent results, pinned by
+    test)."""
     text_hash = F.md5(F.col(text_col))
     base_hashes = (
         base_df.where(F.col(text_col).isNotNull())
@@ -746,5 +747,146 @@ def dedup_against_base(
     return (
         survivors.withColumn("__k", key_new)
         .join(flagged_keys, "__k", "left_anti")
+        .drop("__k")
+    )
+
+
+# --------------------------------------------------------------------------
+# durable LSH index: cross-increment near-dup without re-signaturing
+# --------------------------------------------------------------------------
+
+def band_key_expr(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Exploded ``(band, key)`` structs for a minhash signature array —
+    the banding expression shared by the symmetric pair generator and
+    the durable LSH index (one copy, so the two paths cannot drift)."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("key"),
+            ),
+        )
+    )
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 64,
+) -> None:
+    """Materialize the base corpus' dedup index ONCE:
+    ``{path}/signatures`` (id, text_hash, shingles), ``{path}/bands``
+    (band, key, id — bucket membership capped at write time), and
+    ``{path}/params`` (single row; read back to reject mismatched
+    query parameters). This is the cross-increment amortization
+    ``dedup_against_base`` documents as its limit: signaturing the
+    10^12-row base happens here once, and every increment afterwards
+    only signatures ITSELF (``dedup_against_index``)."""
+    rows_per_band = num_hashes // bands
+    spark = df.sparkSession
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.md5(F.col(text_col)).alias("_th"),
+            word_shingles(text_col, shingle_n).alias("_sh"),
+        )
+        .withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
+    )
+    base.select("_id", "_th", "_sh").write.mode("overwrite").parquet(
+        f"{path}/signatures"
+    )
+    sigs = spark.read.parquet(f"{path}/signatures")  # durable, re-read
+    resig = sigs.withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
+    banded = resig.select("_id", band_key_expr(F.col("_sig"), bands, rows_per_band).alias("bk"))
+    capped = cap_bucket_rows(
+        banded, [F.col("bk.band"), F.col("bk.key")], [F.col("_id")], max_bucket
+    )
+    capped.select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_id"
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(shingle_n, num_hashes, bands, max_bucket)],
+        "shingle_n int, num_hashes int, bands int, max_bucket int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float | None = 0.8,
+    persist_increment: bool = True,
+) -> DataFrame:
+    """Incremental dedup against a :func:`write_lsh_index` index: the
+    increment is the ONLY side that gets shingled/signatured; exact
+    dups drop via the stored text hashes, near dups via a band join
+    against the stored buckets + exact-Jaccard verification against
+    the stored shingles. Same keep semantics as
+    :func:`dedup_against_base` (new-vs-new dups kept), pinned
+    equivalent by test."""
+    spark = new_df.sparkSession
+    p = spark.read.parquet(f"{index_path}/params").collect()[0]
+    shingle_n, num_hashes, bands, _ = (
+        p["shingle_n"], p["num_hashes"], p["bands"], p["max_bucket"],
+    )
+    rows_per_band = num_hashes // bands
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+
+    survivors = new_df.join(
+        sigs.select(F.col("_th").alias("__h")).distinct(),
+        F.md5(new_df[text_col]) == F.col("__h"),
+        "left_anti",
+    )
+    if threshold is None:
+        return survivors
+
+    inc = (
+        survivors.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("_nid"),
+            word_shingles(text_col, shingle_n).alias("_nsh"),
+        )
+        .withColumn("_sig", minhash_signatures(F.col("_nsh"), num_hashes))
+    )
+    if persist_increment:
+        # feeds banding AND verification; same never-unpersisted
+        # lifecycle as minhash_lsh_pairs' base (pass False from sinks
+        # that cannot release caches, e.g. foreachBatch)
+        inc = inc.persist()
+    inc_bands = inc.select(
+        "_nid", band_key_expr(F.col("_sig"), bands, rows_per_band).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_nid")
+    base_bands = spark.read.parquet(f"{index_path}/bands")
+    candidates = (
+        inc_bands.join(base_bands, ["band", "key"])
+        .select("_nid", "_id")
+        .distinct()
+    )
+    flagged = (
+        candidates.join(inc.select("_nid", "_nsh"), "_nid")
+        .join(sigs.select("_id", "_sh"), "_id")
+        .where(jaccard(F.col("_nsh"), F.col("_sh")) >= threshold)
+        .select(F.col("_nid").alias("__k"))
+        .distinct()
+    )
+    return (
+        survivors.withColumn("__k", F.col(id_col).cast("string"))
+        .join(flagged, "__k", "left_anti")
         .drop("__k")
     )

@@ -221,3 +221,49 @@ def test_cc_star_nonconverged_one_row_per_id(spark):
     ids = [r["id"] for r in out]
     assert len(ids) == len(set(ids)) == 39 + 1
     assert stats["converged"] is False
+
+
+def test_lsh_index_equivalent_to_direct_base_dedup(spark, tmp_path):
+    """The durable-index path returns EXACTLY the same survivors as
+    dedup_against_base on identical inputs, and the index is reused
+    across two different increments with no base re-signaturing."""
+    from solrizer_spark.operators.dedup import (
+        dedup_against_base,
+        dedup_against_index,
+        write_lsh_index,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer today")
+    other = ("a wholly different base document discussing completely other "
+             "matters with a vocabulary of its very own kind here")
+    base = spark.createDataFrame(
+        [(1, body), (2, other), (3, None)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "lsh_index")
+    write_lsh_index(base, idx)
+
+    def increment(k):
+        return spark.createDataFrame(
+            [(k, body),                                  # exact dup
+             (k + 1, " ".join(body.split()[:-1])),       # near dup
+             (k + 2, " ".join(other.split()[:-2])),      # near dup of 2
+             (k + 3, f"fresh increment number {k} bringing entirely new "
+                     "words unseen anywhere in the base corpus"),
+             (k + 4, None)],
+            "doc_id long, text string",
+        )
+
+    for k in (100, 200):
+        inc = increment(k)
+        via_index = {r["doc_id"]
+                     for r in dedup_against_index(inc, idx).collect()}
+        via_base = {r["doc_id"]
+                    for r in dedup_against_base(inc, base).collect()}
+        assert via_index == via_base == {k + 3, k + 4}
+
+    # exact-only mode consistent too
+    only_exact = {r["doc_id"] for r in
+                  dedup_against_index(increment(300), idx,
+                                      threshold=None).collect()}
+    assert only_exact == {301, 302, 303, 304}
