@@ -200,24 +200,10 @@ def minhash_lsh_pairs(
         # signatures to a table instead (signatures_path).
         base = base.persist()
 
-    # band keys: hash of each signature slice → (band_idx, band_key)
-    band_key = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda h: h.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("key"),
-            ),
-        )
-    )
+    # band keys: hash of each signature slice → (band_idx, band_key);
+    # shared expression with the durable index (band_key_expr) so the
+    # two paths stay key-compatible
+    band_key = band_key_expr(F.col("_sig"), bands, rows_per_band)
     # only (_id, band-key) ride the banding/cap shuffle — the shingle
     # array re-joins from the persisted base at verification time
     banded = base.select("_id", band_key.alias("bk"))
@@ -798,18 +784,15 @@ def write_lsh_index(
     only signatures ITSELF (``dedup_against_index``)."""
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
-    base = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).cast("string").alias("_id"),
-            F.md5(F.col(text_col)).alias("_th"),
-            word_shingles(text_col, shingle_n).alias("_sh"),
-        )
-        .withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.md5(F.col(text_col)).alias("_th"),
+        word_shingles(text_col, shingle_n).alias("_sh"),
     )
-    base.select("_id", "_th", "_sh").write.mode("overwrite").parquet(
-        f"{path}/signatures"
-    )
+    # the durable table holds (id, text-hash, shingles); signatures are
+    # recomputed from the stored shingles below (deterministic, and
+    # cheaper to store shingles once than shingles + signature arrays)
+    base.write.mode("overwrite").parquet(f"{path}/signatures")
     sigs = spark.read.parquet(f"{path}/signatures")  # durable, re-read
     resig = sigs.withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
     banded = resig.select("_id", band_key_expr(F.col("_sig"), bands, rows_per_band).alias("bk"))
@@ -838,11 +821,16 @@ def dedup_against_index(
     dups drop via the stored text hashes, near dups via a band join
     against the stored buckets + exact-Jaccard verification against
     the stored shingles. Same keep semantics as
-    :func:`dedup_against_base` (new-vs-new dups kept), pinned
-    equivalent by test."""
+    :func:`dedup_against_base` (new-vs-new dups kept); results are
+    identical on non-degenerate buckets (pinned by test). Where the
+    ``max_bucket`` cap binds they can differ in the increment's
+    favor: the symmetric path may evict a tagged row from an
+    oversized bucket entirely, while here the increment row always
+    compares against the bucket's stored members (strictly ≥ recall);
+    both sides cap their own bucket membership."""
     spark = new_df.sparkSession
     p = spark.read.parquet(f"{index_path}/params").collect()[0]
-    shingle_n, num_hashes, bands, _ = (
+    shingle_n, num_hashes, bands, max_bucket = (
         p["shingle_n"], p["num_hashes"], p["bands"], p["max_bucket"],
     )
     rows_per_band = num_hashes // bands
@@ -869,9 +857,19 @@ def dedup_against_index(
         # lifecycle as minhash_lsh_pairs' base (pass False from sinks
         # that cannot release caches, e.g. foreachBatch)
         inc = inc.persist()
-    inc_bands = inc.select(
+    inc_banded = inc.select(
         "_nid", band_key_expr(F.col("_sig"), bands, rows_per_band).alias("bk")
-    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_nid")
+    )
+    # cap the INCREMENT side of each bucket too (stored max_bucket):
+    # a degenerate increment bucket (10^6 boilerplate copies on one
+    # band key) would otherwise fan out against the stored members
+    # unbounded — same guard as the symmetric path (review finding)
+    inc_capped = cap_bucket_rows(
+        inc_banded, [F.col("bk.band"), F.col("bk.key")], [F.col("_nid")], max_bucket
+    )
+    inc_bands = inc_capped.select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_nid"
+    )
     base_bands = spark.read.parquet(f"{index_path}/bands")
     candidates = (
         inc_bands.join(base_bands, ["band", "key"])
