@@ -29,7 +29,10 @@ Ops (applied in the order given):
 * ``basededup``   drop docs duplicating --base-path (exact + near
                   vs an EXISTING corpus — the crawl-increment mode;
                   new-vs-new dups kept, compose exactdedup/neardedup
-                  after it for within-batch dedup)
+                  after it for within-batch dedup). With --base-index
+                  (a ``write_lsh_index`` directory) only the
+                  increment is signatured — the repeated-increment
+                  fast path
 * ``decontaminate`` drop docs sharing an 8-gram with --benchmark-file
                   (one benchmark text per line)
 * ``scrub``       PII redaction (emails/IPv4/phones)
@@ -131,6 +134,13 @@ def apply_op(
         comps = connected_components(pairs, algorithm=args.cc_algorithm)
         return dedup_keep_canonical(df, comps, id_col=id_col)
     if op == "basededup":
+        if args.base_index:
+            from solrizer_spark.operators.dedup import dedup_against_index
+
+            return dedup_against_index(
+                df, args.base_index, id_col=id_col, text_col=text_col,
+                threshold=args.near_threshold,
+            )
         from solrizer_spark.operators.dedup import dedup_against_base
 
         # schema validated up front in run_curate (fail-early rule)
@@ -178,10 +188,18 @@ def run_curate(spark, args) -> dict:
         # fail BEFORE the expensive upstream ops run, not at open(None)
         raise ValueError("op 'decontaminate' requires --benchmark-file")
     if "basededup" in ops:
-        if not args.base_path:
-            raise ValueError("op 'basededup' requires --base-path")
-        # validate the base table BEFORE the expensive upstream ops run
-        base_cols = spark.read.parquet(args.base_path).columns
+        if not args.base_path and not args.base_index:
+            raise ValueError(
+                "op 'basededup' requires --base-path or --base-index"
+            )
+        # validate the base BEFORE the expensive upstream ops run
+        base_cols = (
+            spark.read.parquet(f"{args.base_index}/signatures").columns
+            if args.base_index
+            else spark.read.parquet(args.base_path).columns
+        )
+        if args.base_index:
+            base_cols = [args.id_col, args.text_col]  # index is pre-shaped
         for col in (args.id_col, args.text_col):
             if col not in base_cols:
                 raise ValueError(
@@ -253,6 +271,9 @@ def main() -> None:
     ap.add_argument("--benchmark-file", default=None)
     ap.add_argument("--base-path", default=None,
                     help="basededup op: parquet path of the existing corpus")
+    ap.add_argument("--base-index", default=None,
+                    help="basededup op: write_lsh_index directory (increment-"
+                    "only signaturing; takes precedence over --base-path)")
     ap.add_argument("--mix-source-col", default="lang")
     ap.add_argument("--mix-temperature", type=float, default=0.7)
     ap.add_argument("--chunk-tokens", type=int, default=512)

@@ -17,7 +17,7 @@ def _args(**kw) -> argparse.Namespace:
         cc_algorithm="label_propagation", benchmark_file=None,
         mix_source_col="lang", mix_temperature=0.7, chunk_tokens=8,
         chunk_overlap=2, cpus=None, stats="full", report=None,
-        min_fluency=1e-4, base_path=None, output_format="parquet",
+        min_fluency=1e-4, base_path=None, base_index=None, output_format="parquet",
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -209,3 +209,26 @@ def test_curate_jsonl_export(spark, tmp_path):
         with gzip.open(f, "rt", encoding="utf-8") as fh:
             rows += [_json.loads(line) for line in fh if line.strip()]
     assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_curate_basededup_via_index(spark, tmp_path):
+    from curate import run_curate
+    from solrizer_spark.operators.dedup import write_lsh_index
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer")
+    base = spark.createDataFrame([(1, body)], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    write_lsh_index(base, idx)
+    inc = str(tmp_path / "inc")
+    spark.createDataFrame(
+        [(10, body), (11, " ".join(body.split()[:-1])),
+         (12, "wholly fresh content sharing nothing with the base at all "
+              "and carrying plenty of new vocabulary")],
+        ["doc_id", "text"],
+    ).write.parquet(inc)
+    out = str(tmp_path / "out")
+    run_curate(spark, _args(input=inc, output=out, ops="basededup",
+                            base_index=idx, near_threshold=0.8))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {12}

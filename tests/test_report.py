@@ -74,7 +74,7 @@ def test_curate_report_flag(spark, tmp_path):
         near_threshold=0.5, cc_algorithm="label_propagation",
         benchmark_file=None, mix_source_col="lang", mix_temperature=0.7,
         chunk_tokens=8, chunk_overlap=2, cpus=None, stats="none",
-        report=report, min_fluency=1e-4, base_path=None, output_format="parquet",
+        report=report, min_fluency=1e-4, base_path=None, base_index=None, output_format="parquet",
     )
     stats = run_curate(spark, args)
     assert stats["report"] == report
@@ -102,7 +102,7 @@ def test_curate_report_after_chunk_op(spark, tmp_path):
         near_threshold=0.5, cc_algorithm="label_propagation",
         benchmark_file=None, mix_source_col="lang", mix_temperature=0.7,
         chunk_tokens=8, chunk_overlap=2, cpus=None, stats="none",
-        report=report, min_fluency=1e-4, base_path=None, output_format="parquet",
+        report=report, min_fluency=1e-4, base_path=None, base_index=None, output_format="parquet",
     )
     stats = run_curate(spark, args)
     assert stats["rows_out"] >= 3
