@@ -159,3 +159,26 @@ def test_fetch_schedule_with_delays_duplicate_host_rows(spark):
     assert len(out) == 10  # no row duplication
     # max delay 5 -> per_slot 2 -> ceil(10/2) = 5 slots
     assert all(0 <= r["slot"] < 5 for r in out)
+
+
+@pytest.mark.parametrize("per_slot", [1, 3, 10])
+def test_fetch_schedule_invariants_property(spark, per_slot):
+    """Invariants for arbitrary url shapes: every input row appears
+    exactly once; slots are within [0, ceil(n_host/per_slot))."""
+    rows = [(u,) for u in [
+        "https://a.com/x", "https://a.com/y", "https://a.com/z",
+        "HTTPS://A.COM/upper", "https://b.io:8443/p?q=1#f",
+        "ftp://weird.scheme/only", "not a url at all", None,
+        "https://user:pw@c.org/auth", "https://a.com/x",  # dup url
+    ]]
+    df = spark.createDataFrame(rows, "url string")
+    for mode in ("hash", "exact"):
+        out = fetch_schedule(df, per_slot=per_slot, mode=mode).collect()
+        assert len(out) == len(rows)
+        per_host = {}
+        for r in out:
+            per_host.setdefault(r["host"], []).append(r["slot"])
+        for host, slots in per_host.items():
+            import math
+            bound = math.ceil(len(slots) / per_slot)
+            assert all(0 <= s < bound for s in slots), (mode, host, slots)

@@ -267,3 +267,50 @@ def test_lsh_index_equivalent_to_direct_base_dedup(spark, tmp_path):
                   dedup_against_index(increment(300), idx,
                                       threshold=None).collect()}
     assert only_exact == {301, 302, 303, 304}
+
+
+def test_build_lsh_index_cli(spark, tmp_path):
+    """The index-builder CLI drives write_lsh_index end-to-end."""
+    import json
+    import subprocess
+    import sys
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer today")
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, body), (2, None)], "doc_id long, text string"
+    ).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    out = subprocess.run(
+        [sys.executable, "tools/build_lsh_index.py", "--input", src,
+         "--output", idx, "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["indexed_docs"] == 1  # null-text row excluded
+    from solrizer_spark.operators.dedup import dedup_against_index
+
+    inc = spark.createDataFrame([(9, body)], ["doc_id", "text"])
+    assert dedup_against_index(inc, idx).count() == 0  # exact dup dropped
+
+
+def test_dedup_against_base_idempotent(spark):
+    """Running the increment filter twice equals once (survivors
+    contain no base duplicates by construction)."""
+    from solrizer_spark.operators.dedup import dedup_against_base
+
+    body = ("the quick brown fox jumps over the lazy dog and then sleeps "
+            "in the warm afternoon sun for a while longer")
+    base = spark.createDataFrame([(1, body)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, body), (11, " ".join(body.split()[:-1])),
+         (12, "fresh content with its own distinct vocabulary entirely "
+              "different from everything in the base corpus")],
+        ["doc_id", "text"],
+    )
+    once = dedup_against_base(new, base)
+    twice = dedup_against_base(once, base)
+    assert ({r["doc_id"] for r in once.collect()}
+            == {r["doc_id"] for r in twice.collect()} == {12})
