@@ -120,3 +120,13 @@ def test_job_host_graph_side_tables(spark, tmp_path):
     assert {(e["src"], e["dst"]) for e in edges} == {
         (f"site{i}.com", "hub.org") for i in range(3)
     }
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """The core integer-arithmetic claim: ranks are bit-identical
+    under any input partitioning."""
+    df = spark.createDataFrame(EDGES * 3, ["src", "dst"])
+    a = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df.repartition(13), iterations=5).collect()}
+    assert a == b == EXPECTED
