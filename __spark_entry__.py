@@ -1009,13 +1009,18 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize with one Arrow-batched, word-memoized pandas UDF.
     Rows-only check: merge learning is iterative and not
     SQL-expressible; semantics pinned by tests/test_bpe.py (classic
-    Sennrich merge-order case + hypothesis round-trip property)."""
+    Sennrich merge-order case + hypothesis round-trip property).
+    All output columns are SCALAR (the token array is space-joined):
+    the driver's canonicalizer sorts raw column values, and an
+    array<string> column is unhashable there."""
     from solrizer_spark.functions.bpe import bpe_tokenize, bpe_train
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = bpe_train(docs, "text", num_merges=64, top_k=5000)
     return bpe_tokenize(docs, merges, "text").select(
-        "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens"), "bpe_tokens"
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
     )
 
 
@@ -1381,7 +1386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
         "bpe_word_counts": q_bpe_word_counts,
-        "bpe_tokens": q_bpe_tokens,
         "pagerank": q_pagerank,
         "fetch_schedule": q_fetch_schedule,
         "lm_score": q_lm_score,
@@ -1394,6 +1398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
+        # rows-only queries (no oracle_sql entry) go LAST so a harness
+        # canonicalizer incompatibility can never shadow oracle-checked
+        # queries that follow them in dict order
+        "bpe_tokens": q_bpe_tokens,
     }
 
 

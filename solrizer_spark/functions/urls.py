@@ -203,28 +203,70 @@ def parse_robots_txt(content: str | bytes | None, agent: str = "*") -> list[str]
     ]
 
 
+#: Java-regex metacharacters to escape when translating a robots rule
+#: into a regex — everything special EXCEPT ``*`` (handled as the RFC
+#: 9309 any-sequence wildcard afterwards).
+_ROBOTS_RX_SPECIALS = r"([.^$+?(){}\[\]\\|])"
+
+
+def _robots_rule_struct(p):
+    """Translate one Disallow value into a match struct
+    ``(pre string, rx string)``: rules with no wildcard stay literal
+    prefixes (``pre``, cheap ``startswith`` fast path); rules using
+    RFC 9309 §2.2.3 wildcards — ``*`` (any char sequence) or a
+    trailing ``$`` (end-of-path anchor) — become an anchored Java
+    regex (``rx``). A ``$`` anywhere but the end is literal (matching
+    Google's reference parser). Evaluated on the broadcast DIM side,
+    so translation runs once per robots rule, not per corpus row."""
+    from pyspark.sql import functions as F
+
+    anchored = p.endswith("$")
+    core = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(core, _ROBOTS_RX_SPECIALS, "\\\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    rx = F.concat(F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    has_wild = p.contains("*") | anchored
+    return F.struct(
+        F.when(~has_wild, p).alias("pre"),
+        F.when(has_wild, rx).alias("rx"),
+    )
+
+
 def filter_robots_disallowed(df, robots_df, url_col: str = "url"):
-    """Drop rows whose url path starts with a robots-disallowed prefix
-    for its HOST (robots.txt scope is the host, not the registrable
+    """Drop rows whose url path matches a robots-disallowed rule for
+    its HOST (robots.txt scope is the host, not the registrable
     domain) — the crawl-politeness post-filter. ``robots_df``:
     ``(domain string, disallow array<string>)`` keyed by host (build
     it with :func:`parse_robots_txt`); one row per host → broadcast,
     so the corpus side never shuffles. Hosts with no robots row pass
-    through (no robots.txt = no restrictions)."""
+    through (no robots.txt = no restrictions). Rules are RFC 9309
+    prefix matches incl. ``*`` / trailing-``$`` wildcards (see
+    :func:`_robots_rule_struct`); Allow-rule longest-match precedence
+    is not modeled (the parser collects Disallow only)."""
     from pyspark.sql import functions as F
 
+    # collision-proof temp names: an input df that already carries a
+    # ``disallow`` column must neither collide nor be dropped
     tmp = "___robots_domain"
     while tmp in df.columns:
         tmp += "_"
+    rules_col = "___robots_rules"
+    while rules_col in df.columns:
+        rules_col += "_"
     path = url_path(url_col)
     tagged = df.withColumn(tmp, url_host(url_col))
-    joined = tagged.join(
-        F.broadcast(robots_df.select(F.col("domain").alias(tmp), "disallow")),
-        tmp,
-        "left",
+    dim = robots_df.select(
+        F.col("domain").alias(tmp),
+        F.transform("disallow", _robots_rule_struct).alias(rules_col),
     )
-    blocked = F.exists(F.col("disallow"), lambda p: path.startswith(p))
-    return joined.where(~F.coalesce(blocked, F.lit(False))).drop(tmp, "disallow")
+    joined = tagged.join(F.broadcast(dim), tmp, "left")
+    blocked = F.exists(
+        F.col(rules_col),
+        lambda r: F.when(
+            r["rx"].isNotNull(), F.regexp_like(path, r["rx"])
+        ).otherwise(path.startswith(r["pre"])),
+    )
+    return joined.where(~F.coalesce(blocked, F.lit(False))).drop(tmp, rules_col)
 
 
 def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):

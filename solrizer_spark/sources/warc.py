@@ -168,12 +168,18 @@ def parse_warc(data: bytes, source_file: str = "") -> Iterator[dict]:
         ts = None
         raw_ts = headers.get("warc-date")
         if raw_ts:
-            try:
-                ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
-                    tzinfo=timezone.utc
-                )
-            except ValueError:
-                pass
+            # WARC 1.0 mandates whole seconds; WARC 1.1 allows any
+            # W3C-DTF precision incl. fractional seconds. Try both
+            # before giving up — a silent warc_ts=null would feed
+            # min/max ingest metrics and dedup canonical ordering.
+            for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+                try:
+                    ts = datetime.strptime(raw_ts, fmt).replace(
+                        tzinfo=timezone.utc
+                    )
+                    break
+                except ValueError:
+                    pass
         status, ctype, body = _parse_http_response(block)
         yield {
             "url": url,
@@ -231,12 +237,19 @@ def warc_pages_projection(records: DataFrame) -> DataFrame:
     responses become pages rows — real archives carry 404/500 bodies,
     JSON/JS/images, robots fetches; letting those through would
     pollute extraction/dedup/stats downstream. A missing content-type
-    (common in old crawls) passes. text/lang are unknown at ingest
-    (the chain derives them)."""
+    (common in old crawls) passes. PDFs pass too: the extraction
+    dispatch sniffs ``%PDF-`` and routes them to the stdlib PDF
+    kernel (extract.py), quarantining unparseable ones — dropping
+    them here would silently lose PDF corpora with no lineage row.
+    ``application/octet-stream`` (the generic fallback servers use
+    for anything, PDFs included) also passes; non-page octet-streams
+    fall out at dispatch as parse_failed rows, visible in metrics.
+    text/lang are unknown at ingest (the chain derives them)."""
     from pyspark.sql import functions as F
 
     html_like = F.col("content_type").isNull() | F.col("content_type").isin(
-        "text/html", "application/xhtml+xml", "text/plain"
+        "text/html", "application/xhtml+xml", "text/plain",
+        "application/pdf", "application/octet-stream",
     )
     ok = (
         F.col("url").isNotNull()

@@ -531,3 +531,59 @@ def test_filter_robots_disallowed(spark):
     kept = {r["url"] for r in filter_robots_disallowed(df, robots).collect()}
     # b.com has no robots row -> unrestricted
     assert kept == {"https://a.com/pub/x", "https://b.com/private/x"}
+
+
+def test_filter_robots_wildcards(spark):
+    """RFC 9309 §2.2.3 wildcards: '*' matches any sequence, trailing
+    '$' anchors end-of-path; a mid-pattern '$' is literal; regex
+    metachars in rules never escape into the matcher (ADVICE r3:
+    these were literal-prefix no-ops that silently under-blocked)."""
+    from solrizer_spark.functions.urls import filter_robots_disallowed
+
+    df = spark.createDataFrame(
+        [(u,) for u in [
+            "https://a.com/files/report.pdf",      # /*.pdf$ -> blocked
+            "https://a.com/files/report.pdfx",     # $ anchor holds -> kept
+            "https://a.com/a/sub/secret/x",        # /a/*/secret -> blocked
+            "https://a.com/a/secret/x",            # no '/secret' after /a/<seg> -> kept
+            "https://a.com/cart",                  # '/cart$' exact-path anchor -> blocked
+            "https://a.com/cart/items",            # anchor holds -> kept
+            "https://a.com/pri$ce/list",           # mid-pattern '$' literal -> blocked
+            "https://a.com/price/list",            # kept
+            "https://b.com/anything",              # 'Disallow: *' -> blocked
+            "https://c.com/x.pdf",                 # no robots row -> kept
+        ]],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/*.pdf$", "/a/*/secret", "/cart$", "/pri$ce/"]),
+         ("b.com", ["*"])],
+        "domain string, disallow array<string>",
+    )
+    kept = {r["url"] for r in filter_robots_disallowed(df, robots).collect()}
+    assert kept == {
+        "https://a.com/files/report.pdfx",
+        "https://a.com/a/secret/x",
+        "https://a.com/cart/items",
+        "https://a.com/price/list",
+        "https://c.com/x.pdf",
+    }
+
+
+def test_filter_robots_disallow_column_collision(spark):
+    """An input df already carrying a 'disallow' column must neither
+    hit an ambiguous-column error nor lose the column (ADVICE r3)."""
+    from solrizer_spark.functions.urls import filter_robots_disallowed
+
+    df = spark.createDataFrame(
+        [("https://a.com/private/x", "keep-me-1"),
+         ("https://a.com/pub/x", "keep-me-2")],
+        "url string, disallow string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private/"])], "domain string, disallow array<string>"
+    )
+    out = filter_robots_disallowed(df, robots).collect()
+    assert [(r["url"], r["disallow"]) for r in out] == [
+        ("https://a.com/pub/x", "keep-me-2")
+    ]

@@ -185,6 +185,67 @@ def test_read_pages_warc_filters_non_html(spark, tmp_path):
     assert urls == {f"https://warc.example.org/page/{i}" for i in range(2)}
 
 
+def test_warc11_fractional_date():
+    """WARC 1.1 allows fractional-second WARC-Date; whole-second (1.0)
+    and fractional forms both parse, garbage stays tolerant-null
+    (ADVICE r3: silent null warc_ts fed min/max metrics + dedup
+    canonical ordering)."""
+    def rec(date: bytes) -> bytes:
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhi"
+        return (
+            b"WARC/1.1\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x.org/\r\n"
+            b"WARC-Date: " + date + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+
+    frac = list(parse_warc(rec(b"2026-03-01T12:00:05.123456Z")))
+    assert frac[0]["warc_ts"] == datetime(
+        2026, 3, 1, 12, 0, 5, 123456, tzinfo=timezone.utc
+    )
+    whole = list(parse_warc(rec(b"2026-03-01T12:00:05Z")))
+    assert whole[0]["warc_ts"] == _ts(5)
+    garbage = list(parse_warc(rec(b"not-a-date")))
+    assert garbage[0]["warc_ts"] is None
+    assert garbage[0]["parse_error"] is None  # date is not fatal
+
+
+def test_read_pages_warc_keeps_pdfs(spark, tmp_path):
+    """application/pdf (and octet-stream) responses survive the
+    ingest projection — the %PDF- dispatch route must be reachable
+    from WARC corpora (ADVICE r3: PDFs were silently dropped)."""
+    from solrizer_spark.sources.pages import read_pages
+
+    recs = _records(1)
+    recs.append(
+        {
+            "url": "https://warc.example.org/doc.pdf",
+            "ts": _ts(10),
+            "body": b"%PDF-1.4 fake pdf bytes",
+            "rec_id": "rec-pdf",
+            "content_type": "application/pdf",
+        }
+    )
+    recs.append(
+        {
+            "url": "https://warc.example.org/blob",
+            "ts": _ts(11),
+            "body": b"%PDF-1.4 served as octet-stream",
+            "rec_id": "rec-blob",
+            "content_type": "application/octet-stream",
+        }
+    )
+    path = str(tmp_path / "pdfs.warc")
+    write_warc(recs, path)
+    urls = {r["url"] for r in read_pages(spark, path, fmt="warc").collect()}
+    assert urls == {
+        "https://warc.example.org/page/0",
+        "https://warc.example.org/doc.pdf",
+        "https://warc.example.org/blob",
+    }
+
+
 def test_stream_warc_incremental(spark, tmp_path):
     """AvailableNow WARC stream: pass 1 ingests the first archive;
     pass 2 picks up ONLY the newly arrived archive (checkpointed file

@@ -23,6 +23,12 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    # Driver-mirror: sort on the RAW column values FIRST. The driver's
+    # canonicalizer does exactly this, so an unsortable column type
+    # (array/map -> unhashable list) must fail HERE too, not be masked
+    # by str-casting (that masking is what let round 3's bpe_tokens
+    # array<string> column crash the driver while passing locally).
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
@@ -58,7 +64,15 @@ def main() -> int:
             continue
         spark_pdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
-            print(f"{name:24s} rows={len(spark_pdf)} (rows-only check, no oracle)")
+            # rows-only queries still pass through the driver's
+            # canonicalizer — run it so unsortable columns fail locally
+            try:
+                canon(spark_pdf)
+            except Exception as exc:  # noqa: BLE001 - mirror driver err row
+                failures += 1
+                print(f"FAIL {name:24s} rows-only canon crash: {exc!r}")
+                continue
+            print(f"OK  {name:24s} rows={len(spark_pdf)} (rows-only check, no oracle)")
             continue
         duck_pdf = con.execute(oracles[name]).fetchdf()
         a, b = canon(spark_pdf), canon(duck_pdf)
