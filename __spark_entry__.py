@@ -396,9 +396,12 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt disallow filtering: per-domain prefix rules
-    broadcast against the corpus; domains without a robots row pass
-    through whole."""
+    """robots.txt disallow filtering: per-domain rules broadcast
+    against the corpus; domains without a robots row pass through
+    whole. host3's rules exercise the RFC 9309 wildcard path ('*'
+    any-sequence + trailing-'$' end anchor); host1 exercises §2.2.2
+    Allow longest-match precedence (a longer Allow re-opens part of a
+    Disallowed prefix); host0 stays on the literal-prefix fast path."""
     from solrizer_spark.functions.urls import filter_robots_disallowed
 
     docs = _table(spark, sf_dir, "documents").select("doc_id")
@@ -412,10 +415,11 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_id").cast("string")),
     )
     robots = spark.createDataFrame(
-        [("host0.example.com", ["/private/", "/tmp/"]),
-         ("host1.example.com", ["/private/"]),
-         ("host2.example.com", [])],
-        "domain string, disallow array<string>",
+        [("host0.example.com", ["/private/", "/tmp/"], []),
+         ("host1.example.com", ["/private/"], ["/private/*3$"]),
+         ("host2.example.com", [], []),
+         ("host3.example.com", ["/art*les/", "/tmp/*3$"], [])],
+        "domain string, disallow array<string>, allow array<string>",
     )
     return filter_robots_disallowed(base, robots).select("doc_id", "url")
 
@@ -1666,7 +1670,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_vocab_join": _facet_vocab_join_sql(),
         # robots_filter: host{m}.example.com; disallowed = host0 with
-        # /private/ or /tmp/, host1 with /private/; host2/host3 open
+        # /private/ or /tmp/; host1 with /private/ EXCEPT doc_ids
+        # ending in 3 (longer Allow /private/*3$ wins); host2 open;
+        # host3 via wildcards: /art*les/ blocks /articles/, /tmp/*3$
+        # blocks /tmp/ urls whose trailing doc_id ends in 3
         "robots_filter": (
             "SELECT doc_id, url FROM ("
             "SELECT doc_id, doc_id % 4 AS m, "
@@ -1677,7 +1684,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN doc_id % 5 = 1 THEN '/tmp/' ELSE '/articles/' END "
             "|| doc_id AS url FROM documents) "
             "WHERE NOT ((m = 0 AND sect IN ('/private/', '/tmp/')) "
-            "OR (m = 1 AND sect = '/private/'))"
+            "OR (m = 1 AND sect = '/private/' AND doc_id % 10 <> 3) "
+            "OR (m = 3 AND sect = '/articles/') "
+            "OR (m = 3 AND sect = '/tmp/' AND doc_id % 10 = 3))"
         ),
         # domain_stats: the oracle states each url's eTLD+1 directly
         # from doc_id arithmetic (site{m}.co.uk keeps 3 labels)

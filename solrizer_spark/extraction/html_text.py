@@ -263,15 +263,17 @@ def classify_blocks(blocks: list[Block]) -> None:
             b.kept = True
 
 
-#: Default parse backend. ``fast`` is the from-scratch single-shot
-#: scanner (fastscan.py) — stdlib-event-stream-exact, differential-
-#: fuzz-tested, ~3× less CPU; ``stdlib`` is the HTMLParser-driven
-#: parity reference. Overridable per-cluster without code changes via
-#: ``SOLRIZER_HTML_BACKEND`` (executors inherit it through
-#: ``spark.executorEnv.*``).
+#: Default parse backend. ``fused`` is the single-function kernel
+#: (fusedscan.py) — the fastscan state machine with the sink inlined
+#: as locals, ~1.85× stdlib and ~1.15× ``fast`` on the bench corpus;
+#: ``fast`` is the sink-driven single-shot scanner (fastscan.py);
+#: both are stdlib-event-exact and differential-fuzz-pinned.
+#: ``stdlib`` is the HTMLParser-driven parity reference. Overridable
+#: per-cluster without code changes via ``SOLRIZER_HTML_BACKEND``
+#: (executors inherit it through ``spark.executorEnv.*``).
 import os as _os
 
-DEFAULT_BACKEND = _os.environ.get("SOLRIZER_HTML_BACKEND", "fast")
+DEFAULT_BACKEND = _os.environ.get("SOLRIZER_HTML_BACKEND", "fused")
 
 
 def _run_fast(text: str) -> _ExtractorState:
@@ -296,7 +298,18 @@ def _run_lxml(text: str) -> _ExtractorState:
     return run_lxml(text)
 
 
-_BACKENDS = {"fast": _run_fast, "stdlib": _run_stdlib, "lxml": _run_lxml}
+def _run_fused(text: str) -> _ExtractorState:
+    from solrizer_spark.extraction.fusedscan import run_fused
+
+    return run_fused(text)
+
+
+_BACKENDS = {
+    "fused": _run_fused,
+    "fast": _run_fast,
+    "stdlib": _run_stdlib,
+    "lxml": _run_lxml,
+}
 
 
 def _resolve_backend(backend: str):
@@ -305,7 +318,9 @@ def _resolve_backend(backend: str):
     try:
         run = _BACKENDS[backend]
     except KeyError:
-        raise ValueError(f"unknown HTML backend {backend!r} (fast|stdlib|lxml)") from None
+        raise ValueError(
+            f"unknown HTML backend {backend!r} (fused|fast|stdlib|lxml)"
+        ) from None
     if backend == "lxml":
         from solrizer_spark.extraction.lxml_backend import HAVE_LXML
 

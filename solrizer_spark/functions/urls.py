@@ -203,6 +203,22 @@ def parse_robots_txt(content: str | bytes | None, agent: str = "*") -> list[str]
     ]
 
 
+def parse_robots_rules(
+    content: str | bytes | None, agent: str = "*"
+) -> dict[str, list[str]]:
+    """Both rule kinds for ``agent``: ``{"disallow": [...], "allow":
+    [...]}`` — feed these into the two-column robots dim that
+    :func:`filter_robots_disallowed` consumes for full RFC 9309 §2.2.2
+    longest-match precedence (Allow can re-open a subtree of a
+    Disallowed prefix). Empty values (no-op rules) are dropped, same
+    as :func:`parse_robots_txt`."""
+    dirs = _robots_directives(content, agent)
+    return {
+        "disallow": [v for f, v in dirs if f == "disallow" and v],
+        "allow": [v for f, v in dirs if f == "allow" and v],
+    }
+
+
 #: Java-regex metacharacters to escape when translating a robots rule
 #: into a regex — everything special EXCEPT ``*`` (handled as the RFC
 #: 9309 any-sequence wildcard afterwards).
@@ -210,14 +226,17 @@ _ROBOTS_RX_SPECIALS = r"([.^$+?(){}\[\]\\|])"
 
 
 def _robots_rule_struct(p):
-    """Translate one Disallow value into a match struct
-    ``(pre string, rx string)``: rules with no wildcard stay literal
-    prefixes (``pre``, cheap ``startswith`` fast path); rules using
-    RFC 9309 §2.2.3 wildcards — ``*`` (any char sequence) or a
+    """Translate one Allow/Disallow value into a match struct
+    ``(pre string, rx string, len int)``: rules with no wildcard stay
+    literal prefixes (``pre``, cheap ``startswith`` fast path); rules
+    using RFC 9309 §2.2.3 wildcards — ``*`` (any char sequence) or a
     trailing ``$`` (end-of-path anchor) — become an anchored Java
     regex (``rx``). A ``$`` anywhere but the end is literal (matching
-    Google's reference parser). Evaluated on the broadcast DIM side,
-    so translation runs once per robots rule, not per corpus row."""
+    Google's reference parser). ``len`` is the raw rule length — the
+    §2.2.2 most-specific-match priority (octets of the rule, wildcards
+    counted as written, as in Google's parser). Evaluated on the
+    broadcast DIM side, so translation runs once per robots rule, not
+    per corpus row."""
     from pyspark.sql import functions as F
 
     anchored = p.endswith("$")
@@ -229,44 +248,71 @@ def _robots_rule_struct(p):
     return F.struct(
         F.when(~has_wild, p).alias("pre"),
         F.when(has_wild, rx).alias("rx"),
+        F.length(p).alias("len"),
     )
+
+
+def _best_rule_len(rules_col, path):
+    """Length of the longest rule in ``rules_col`` matching ``path``
+    (0 if none) — the RFC 9309 §2.2.2 priority fold, one pass over
+    the (broadcast-joined) rule array, no explode."""
+    from pyspark.sql import functions as F
+
+    def step(acc, r):
+        hit = F.when(
+            r["rx"].isNotNull(), F.regexp_like(path, r["rx"])
+        ).otherwise(path.startswith(r["pre"]))
+        return F.when(hit, F.greatest(acc, r["len"])).otherwise(acc)
+
+    return F.aggregate(rules_col, F.lit(0), step)
 
 
 def filter_robots_disallowed(df, robots_df, url_col: str = "url"):
-    """Drop rows whose url path matches a robots-disallowed rule for
-    its HOST (robots.txt scope is the host, not the registrable
-    domain) — the crawl-politeness post-filter. ``robots_df``:
-    ``(domain string, disallow array<string>)`` keyed by host (build
-    it with :func:`parse_robots_txt`); one row per host → broadcast,
-    so the corpus side never shuffles. Hosts with no robots row pass
-    through (no robots.txt = no restrictions). Rules are RFC 9309
-    prefix matches incl. ``*`` / trailing-``$`` wildcards (see
-    :func:`_robots_rule_struct`); Allow-rule longest-match precedence
-    is not modeled (the parser collects Disallow only)."""
+    """Drop rows whose url path is robots-disallowed for its HOST
+    (robots.txt scope is the host, not the registrable domain) — the
+    crawl-politeness post-filter. ``robots_df``: ``(domain string,
+    disallow array<string>)`` keyed by host, plus an optional ``allow
+    array<string>`` column (build both with
+    :func:`parse_robots_rules`); one row per host → broadcast, so the
+    corpus side never shuffles. Hosts with no robots row pass through
+    (no robots.txt = no restrictions).
+
+    Full RFC 9309 matching: ``*`` / trailing-``$`` wildcards
+    (:func:`_robots_rule_struct`) and, when the ``allow`` column is
+    present, §2.2.2 most-specific-match precedence — the longest
+    matching rule wins, Allow winning length ties (an Allow can
+    re-open a subtree of a Disallowed prefix)."""
     from pyspark.sql import functions as F
 
     # collision-proof temp names: an input df that already carries a
-    # ``disallow`` column must neither collide nor be dropped
+    # ``disallow``/``allow`` column must neither collide nor be dropped
     tmp = "___robots_domain"
     while tmp in df.columns:
         tmp += "_"
-    rules_col = "___robots_rules"
-    while rules_col in df.columns:
-        rules_col += "_"
+    dis_col = "___robots_disallow"
+    while dis_col in df.columns:
+        dis_col += "_"
+    alw_col = "___robots_allow"
+    while alw_col in df.columns:
+        alw_col += "_"
+    has_allow = "allow" in robots_df.columns
     path = url_path(url_col)
     tagged = df.withColumn(tmp, url_host(url_col))
-    dim = robots_df.select(
+    dim_cols = [
         F.col("domain").alias(tmp),
-        F.transform("disallow", _robots_rule_struct).alias(rules_col),
-    )
-    joined = tagged.join(F.broadcast(dim), tmp, "left")
-    blocked = F.exists(
-        F.col(rules_col),
-        lambda r: F.when(
-            r["rx"].isNotNull(), F.regexp_like(path, r["rx"])
-        ).otherwise(path.startswith(r["pre"])),
-    )
-    return joined.where(~F.coalesce(blocked, F.lit(False))).drop(tmp, rules_col)
+        F.transform("disallow", _robots_rule_struct).alias(dis_col),
+    ]
+    drop_cols = [tmp, dis_col]
+    if has_allow:
+        dim_cols.append(F.transform("allow", _robots_rule_struct).alias(alw_col))
+        drop_cols.append(alw_col)
+    joined = tagged.join(F.broadcast(robots_df.select(*dim_cols)), tmp, "left")
+    best_dis = _best_rule_len(F.col(dis_col), path)
+    if has_allow:
+        blocked = best_dis > _best_rule_len(F.col(alw_col), path)
+    else:
+        blocked = best_dis > 0
+    return joined.where(~F.coalesce(blocked, F.lit(False))).drop(*drop_cols)
 
 
 def filter_blocked_domains(df, blocklist_df, url_col: str = "url"):

@@ -44,8 +44,11 @@ def _key(r):
 
 def assert_parity(payload):
     a = extract_html(payload, backend="stdlib")
-    b = extract_html(payload, backend="fast")
-    assert _key(a) == _key(b), f"backend divergence on {payload!r:.200}"
+    for other in ("fast", "fused"):
+        b = extract_html(payload, backend=other)
+        assert _key(a) == _key(b), (
+            f"{other} backend divergence on {payload!r:.200}"
+        )
 
 
 ADVERSARIAL = [
@@ -214,7 +217,7 @@ def test_env_default_backend(monkeypatch):
 
     import solrizer_spark.extraction.html_text as ht
 
-    assert ht.DEFAULT_BACKEND == "fast"
+    assert ht.DEFAULT_BACKEND == "fused"
     monkeypatch.setenv("SOLRIZER_HTML_BACKEND", "stdlib")
     importlib.reload(ht)
     try:
@@ -223,4 +226,4 @@ def test_env_default_backend(monkeypatch):
     finally:
         monkeypatch.delenv("SOLRIZER_HTML_BACKEND")
         importlib.reload(ht)
-        assert ht.DEFAULT_BACKEND == "fast"
+        assert ht.DEFAULT_BACKEND == "fused"

@@ -570,6 +570,46 @@ def test_filter_robots_wildcards(spark):
     }
 
 
+def test_filter_robots_allow_precedence(spark):
+    """RFC 9309 §2.2.2 most-specific-match: the longest matching rule
+    wins, Allow winning length ties — an Allow re-opens a subtree of
+    a Disallowed prefix."""
+    from solrizer_spark.functions.urls import (
+        filter_robots_disallowed,
+        parse_robots_rules,
+    )
+
+    rules = parse_robots_rules(
+        b"User-agent: *\nDisallow: /private/\nAllow: /private/public/\n"
+        b"Disallow: /page\nAllow: /page\nAllow:\n"
+    )
+    assert rules == {
+        "disallow": ["/private/", "/page"],
+        "allow": ["/private/public/", "/page"],
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in [
+            "https://a.com/private/x",          # disallow only -> blocked
+            "https://a.com/private/public/x",   # longer allow -> kept
+            "https://a.com/page/sub",           # equal length, allow ties -> kept
+            "https://a.com/open",               # no match -> kept
+            "https://b.com/private/x",          # no robots row -> kept
+        ]],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", rules["disallow"], rules["allow"])],
+        "domain string, disallow array<string>, allow array<string>",
+    )
+    kept = {r["url"] for r in filter_robots_disallowed(df, robots).collect()}
+    assert kept == {
+        "https://a.com/private/public/x",
+        "https://a.com/page/sub",
+        "https://a.com/open",
+        "https://b.com/private/x",
+    }
+
+
 def test_filter_robots_disallow_column_collision(spark):
     """An input df already carrying a 'disallow' column must neither
     hit an ambiguous-column error nor lose the column (ADVICE r3)."""
