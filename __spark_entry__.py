@@ -416,7 +416,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = spark.createDataFrame(
         [("host0.example.com", ["/private/", "/tmp/"], []),
-         ("host1.example.com", ["/private/"], ["/private/*3$"]),
+         ("host1.example.com", ["/private/"], ["/private/1*"]),
          ("host2.example.com", [], []),
          ("host3.example.com", ["/art*les/", "/tmp/*3$"], [])],
         "domain string, disallow array<string>, allow array<string>",
@@ -1671,7 +1671,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_vocab_join": _facet_vocab_join_sql(),
         # robots_filter: host{m}.example.com; disallowed = host0 with
         # /private/ or /tmp/; host1 with /private/ EXCEPT doc_ids
-        # ending in 3 (longer Allow /private/*3$ wins); host2 open;
+        # starting with '1' (longer Allow /private/1* wins — host1's
+        # private ids are doc_id%20==5, so both allowed and blocked
+        # ids occur and the Allow arm is non-vacuous); host2 open;
         # host3 via wildcards: /art*les/ blocks /articles/, /tmp/*3$
         # blocks /tmp/ urls whose trailing doc_id ends in 3
         "robots_filter": (
@@ -1684,7 +1686,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN doc_id % 5 = 1 THEN '/tmp/' ELSE '/articles/' END "
             "|| doc_id AS url FROM documents) "
             "WHERE NOT ((m = 0 AND sect IN ('/private/', '/tmp/')) "
-            "OR (m = 1 AND sect = '/private/' AND doc_id % 10 <> 3) "
+            "OR (m = 1 AND sect = '/private/' "
+            "    AND CAST(doc_id AS VARCHAR) NOT LIKE '1%') "
             "OR (m = 3 AND sect = '/articles/') "
             "OR (m = 3 AND sect = '/tmp/' AND doc_id % 10 = 3))"
         ),

@@ -34,6 +34,20 @@ def url_path(url: Column | str) -> Column:
     return F.when(path == "", F.lit("/")).otherwise(path)
 
 
+def url_match_target(url: Column | str) -> Column:
+    """The RFC 9309 §2.2.2 match target: path plus ``?query`` when
+    present (fragment excluded) — Allow/Disallow rules match against
+    this, NOT the bare path (``Disallow: /*?sessionid=`` must be able
+    to match, and ``Disallow: /cart$`` must NOT block ``/cart?x``)."""
+    col = F.col(url) if isinstance(url, str) else url
+    target = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    return (
+        F.when(target == "", F.lit("/"))
+        .when(target.startswith("?"), F.concat(F.lit("/"), target))
+        .otherwise(target)
+    )
+
+
 def url_path_depth(url: Column | str) -> Column:
     """Number of non-empty path segments."""
     p = url_path(url)
@@ -234,9 +248,13 @@ def _robots_rule_struct(p):
     regex (``rx``). A ``$`` anywhere but the end is literal (matching
     Google's reference parser). ``len`` is the raw rule length — the
     §2.2.2 most-specific-match priority (octets of the rule, wildcards
-    counted as written, as in Google's parser). Evaluated on the
-    broadcast DIM side, so translation runs once per robots rule, not
-    per corpus row."""
+    counted as written, as in Google's parser). The regex STRING is
+    built on the broadcast DIM side (once per robots rule); matching
+    a wildcard rule still compiles the pattern per evaluation (Spark
+    caches only the last-seen pattern per expression, so multiple
+    wildcard rules per host alternate) — bounded at ~1-2 µs per tiny
+    pattern per row, well under the extraction kernel's per-row cost,
+    and hosts with only literal rules stay on ``startswith``."""
     from pyspark.sql import functions as F
 
     anchored = p.endswith("$")
@@ -268,7 +286,9 @@ def _best_rule_len(rules_col, path):
 
 
 def filter_robots_disallowed(df, robots_df, url_col: str = "url"):
-    """Drop rows whose url path is robots-disallowed for its HOST
+    """Drop rows whose url match target (path plus ``?query``, per
+    RFC 9309 §2.2.2 — see :func:`url_match_target`) is
+    robots-disallowed for its HOST
     (robots.txt scope is the host, not the registrable domain) — the
     crawl-politeness post-filter. ``robots_df``: ``(domain string,
     disallow array<string>)`` keyed by host, plus an optional ``allow
@@ -296,7 +316,7 @@ def filter_robots_disallowed(df, robots_df, url_col: str = "url"):
     while alw_col in df.columns:
         alw_col += "_"
     has_allow = "allow" in robots_df.columns
-    path = url_path(url_col)
+    path = url_match_target(url_col)
     tagged = df.withColumn(tmp, url_host(url_col))
     dim_cols = [
         F.col("domain").alias(tmp),

@@ -37,6 +37,7 @@ the HTML kernel).
 from __future__ import annotations
 
 import io
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -59,6 +60,12 @@ WARC_PAGES_SCHEMA = T.StructType(
 )
 
 _CRLF = b"\r\n"
+
+#: W3C-DTF / RFC 3339 WARC-Date with any fractional-second precision
+#: (WARC 1.1); the fraction is truncated to µs in parse_warc.
+_WARC_DATE_RE = re.compile(
+    r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?Z$"
+)
 
 
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
@@ -168,18 +175,23 @@ def parse_warc(data: bytes, source_file: str = "") -> Iterator[dict]:
         ts = None
         raw_ts = headers.get("warc-date")
         if raw_ts:
-            # WARC 1.0 mandates whole seconds; WARC 1.1 allows any
-            # W3C-DTF precision incl. fractional seconds. Try both
-            # before giving up — a silent warc_ts=null would feed
-            # min/max ingest metrics and dedup canonical ordering.
-            for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+            # WARC 1.0 mandates whole seconds; WARC 1.1 allows ANY
+            # W3C-DTF fractional precision (crawlers emit 9-digit
+            # RFC3339Nano too, which %f rejects) — parse the fraction
+            # ourselves, truncating to µs, so no valid date silently
+            # yields warc_ts=null (that null would feed min/max ingest
+            # metrics and dedup canonical ordering).
+            dm = _WARC_DATE_RE.match(raw_ts)
+            if dm:
                 try:
-                    ts = datetime.strptime(raw_ts, fmt).replace(
-                        tzinfo=timezone.utc
+                    ts = datetime.strptime(
+                        dm.group(1), "%Y-%m-%dT%H:%M:%S"
+                    ).replace(
+                        microsecond=int((dm.group(2) or "")[:6].ljust(6, "0")),
+                        tzinfo=timezone.utc,
                     )
-                    break
                 except ValueError:
-                    pass
+                    pass  # genuine garbage (month 13 etc.): tolerant null
         status, ctype, body = _parse_http_response(block)
         yield {
             "url": url,
@@ -242,14 +254,24 @@ def warc_pages_projection(records: DataFrame) -> DataFrame:
     kernel (extract.py), quarantining unparseable ones — dropping
     them here would silently lose PDF corpora with no lineage row.
     ``application/octet-stream`` (the generic fallback servers use
-    for anything, PDFs included) also passes; non-page octet-streams
-    fall out at dispatch as parse_failed rows, visible in metrics.
-    text/lang are unknown at ingest (the chain derives them)."""
+    for anything, PDFs included) passes ONLY when the body sniffs as
+    ``%PDF-`` — a JSON/JS/binary octet-stream body would otherwise
+    decode fine on the HTML route and enter dedup/stats as page text
+    with no parse_failed row (review catch). The sniff is a JVM-side
+    binary-prefix compare, no Python. text/lang are unknown at ingest
+    (the chain derives them)."""
     from pyspark.sql import functions as F
 
-    html_like = F.col("content_type").isNull() | F.col("content_type").isin(
-        "text/html", "application/xhtml+xml", "text/plain",
-        "application/pdf", "application/octet-stream",
+    html_like = (
+        F.col("content_type").isNull()
+        | F.col("content_type").isin(
+            "text/html", "application/xhtml+xml", "text/plain",
+            "application/pdf",
+        )
+        | (
+            (F.col("content_type") == "application/octet-stream")
+            & (F.col("html").substr(1, 5) == F.lit(b"%PDF-"))
+        )
     )
     ok = (
         F.col("url").isNotNull()

@@ -570,6 +570,34 @@ def test_filter_robots_wildcards(spark):
     }
 
 
+def test_filter_robots_query_string_target(spark):
+    """RFC 9309 §2.2.2: rules match against path+query, not the bare
+    path — '?' rules must be able to match, and a '$'-anchored rule
+    must NOT block a url whose query extends past the anchor (review
+    catch: matching ran on url_path, silently under/over-blocking)."""
+    from solrizer_spark.functions.urls import filter_robots_disallowed
+
+    df = spark.createDataFrame(
+        [(u,) for u in [
+            "https://a.com/item?sessionid=99",   # /*?sessionid= -> blocked
+            "https://a.com/item?page=2",         # kept
+            "https://a.com/cart",                # /cart$ exact -> blocked
+            "https://a.com/cart?step=1",         # query past anchor -> kept
+            "https://a.com/?sessionid=1",        # bare-host query -> blocked
+        ]],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/*?sessionid=", "/cart$"])],
+        "domain string, disallow array<string>",
+    )
+    kept = {r["url"] for r in filter_robots_disallowed(df, robots).collect()}
+    assert kept == {
+        "https://a.com/item?page=2",
+        "https://a.com/cart?step=1",
+    }
+
+
 def test_filter_robots_allow_precedence(spark):
     """RFC 9309 §2.2.2 most-specific-match: the longest matching rule
     wins, Allow winning length ties — an Allow re-opens a subtree of

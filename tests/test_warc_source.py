@@ -204,17 +204,30 @@ def test_warc11_fractional_date():
     assert frac[0]["warc_ts"] == datetime(
         2026, 3, 1, 12, 0, 5, 123456, tzinfo=timezone.utc
     )
+    # any W3C-DTF precision: RFC3339Nano truncates to µs, short
+    # fractions pad (review catch: %f rejects >6 digits)
+    nano = list(parse_warc(rec(b"2026-03-01T12:00:05.123456789Z")))
+    assert nano[0]["warc_ts"] == datetime(
+        2026, 3, 1, 12, 0, 5, 123456, tzinfo=timezone.utc
+    )
+    short = list(parse_warc(rec(b"2026-03-01T12:00:05.5Z")))
+    assert short[0]["warc_ts"] == datetime(
+        2026, 3, 1, 12, 0, 5, 500000, tzinfo=timezone.utc
+    )
     whole = list(parse_warc(rec(b"2026-03-01T12:00:05Z")))
     assert whole[0]["warc_ts"] == _ts(5)
-    garbage = list(parse_warc(rec(b"not-a-date")))
-    assert garbage[0]["warc_ts"] is None
-    assert garbage[0]["parse_error"] is None  # date is not fatal
+    for garbage_date in (b"not-a-date", b"2026-13-01T12:00:05Z"):
+        garbage = list(parse_warc(rec(garbage_date)))
+        assert garbage[0]["warc_ts"] is None
+        assert garbage[0]["parse_error"] is None  # date is not fatal
 
 
 def test_read_pages_warc_keeps_pdfs(spark, tmp_path):
-    """application/pdf (and octet-stream) responses survive the
-    ingest projection — the %PDF- dispatch route must be reachable
-    from WARC corpora (ADVICE r3: PDFs were silently dropped)."""
+    """application/pdf responses survive the ingest projection — the
+    %PDF- dispatch route must be reachable from WARC corpora (ADVICE
+    r3: PDFs were silently dropped). application/octet-stream passes
+    ONLY when the body sniffs %PDF-: a JSON octet-stream would decode
+    fine on the HTML route and pollute downstream (review catch)."""
     from solrizer_spark.sources.pages import read_pages
 
     recs = _records(1)
@@ -233,6 +246,15 @@ def test_read_pages_warc_keeps_pdfs(spark, tmp_path):
             "ts": _ts(11),
             "body": b"%PDF-1.4 served as octet-stream",
             "rec_id": "rec-blob",
+            "content_type": "application/octet-stream",
+        }
+    )
+    recs.append(
+        {
+            "url": "https://warc.example.org/api-blob",
+            "ts": _ts(12),
+            "body": b'{"a": 1}',
+            "rec_id": "rec-json-blob",
             "content_type": "application/octet-stream",
         }
     )

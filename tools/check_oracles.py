@@ -23,11 +23,25 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    # Driver-mirror: sort on the RAW column values FIRST. The driver's
-    # canonicalizer does exactly this, so an unsortable column type
-    # (array/map -> unhashable list) must fail HERE too, not be masked
-    # by str-casting (that masking is what let round 3's bpe_tokens
-    # array<string> column crash the driver while passing locally).
+    # Strict non-scalar probe: reject array/map/struct column VALUES
+    # outright. The driver's canonicalizer chokes on them (round 3's
+    # bpe_tokens incident), but a raw sort alone only reproduces that
+    # for multi-column frames (multi-key sort hashes -> TypeError on
+    # lists; a single-key sort comparison-sorts lists just fine), so
+    # probe explicitly — stricter than the driver, the safe direction.
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = df[c].dropna()
+            if len(vals) and isinstance(
+                vals.iloc[0], (list, dict, set, tuple)
+            ) or (len(vals) and hasattr(vals.iloc[0], "__array__")):
+                raise TypeError(
+                    f"non-scalar values in column {c!r} "
+                    f"({type(vals.iloc[0]).__name__}): the driver "
+                    "canonicalizer cannot sort/hash these"
+                )
+    # Driver-mirror: sort on the RAW column values (no str-cast
+    # masking before the sort).
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     for c in df.columns:
         if df[c].dtype == object:
