@@ -194,6 +194,19 @@ def main() -> int:
         f"joins={p13.count('Join')}",
     )
 
+    # 14. robots filter: the rules dim broadcasts (corpus side never
+    # shuffles), rule translation sits on the dim side of the join,
+    # and matching is pure Column logic — no Python, no cartesian
+    p14 = plan_of(em.q_robots_filter(spark, sf))
+    check(
+        "robots_filter_broadcast_no_shuffle",
+        "BroadcastHashJoin" in p14
+        and "SortMergeJoin" not in p14
+        and "CartesianProduct" not in p14
+        and "EvalPython" not in p14,
+        f"bhj={p14.count('BroadcastHashJoin')} smj={p14.count('SortMergeJoin')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
