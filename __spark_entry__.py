@@ -1028,6 +1028,28 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build: flat capped posting lists
+    (term, df, doc_id, tf, first_pos, posting_rank), impact-ordered
+    (tf desc), df computed UNCAPPED in the same window pass. One
+    term-keyed shuffle; cap via the pre-aggregation row_number
+    pattern shared with the LSH bucket caps."""
+    from solrizer_spark.operators.indexing import inverted_postings
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_postings(docs, max_postings_per_term=20)
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 keywords per document by integer ratio-TF-IDF
+    (score = tf*10^6 div df — exact integer floor division; log-idf
+    deliberately avoided for cross-engine bit parity)."""
+    from solrizer_spark.operators.indexing import tfidf_keywords
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, k=5)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank (5 rounds, damping 85/100, mass
     10^12) over a deterministic 17-host synthetic link graph derived
@@ -1402,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
+        "inverted_postings": q_inverted_postings,
+        "tfidf_keywords": q_tfidf_keywords,
         # rows-only queries (no oracle_sql entry) go LAST so a harness
         # canonicalizer incompatibility can never shadow oracle-checked
         # queries that follow them in dict order
@@ -1429,6 +1453,19 @@ _SHINGLES_CTE = (
     "sh AS (SELECT doc_id, CASE WHEN len(t)-2 <= 0 THEN [array_to_string(t,' ')] "
     "ELSE list_distinct(list_transform(generate_series(1,len(t)-2), "
     "i -> array_to_string(list_slice(t,i,i+2),' '))) END AS s FROM u) "
+)
+
+
+#: shared CTE: whitespace terms per document with tf + first position
+#: (mirror of operators/indexing.doc_terms; posexplode parity via the
+#: generate_series struct-unnest trick)
+_DOC_TERMS_CTE = (
+    "WITH s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents), "
+    "toks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)), "
+    "i -> {'pos': i - 1, 'term': w[i]})) AS t FROM s), "
+    "terms AS (SELECT doc_id, t.term AS term, "
+    "CAST(count(*) AS BIGINT) AS tf, CAST(min(t.pos) AS INT) AS first_pos "
+    "FROM toks WHERE t.term <> '' GROUP BY doc_id, t.term) "
 )
 
 
@@ -2287,6 +2324,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), "
             "  CAST(NULL AS DOUBLE) FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM folded)"
+        ),
+        # inverted index: capped impact-ordered postings, df uncapped
+        "inverted_postings": (
+            _DOC_TERMS_CTE
+            + "SELECT term, df, doc_id, tf, first_pos, posting_rank FROM ("
+            "SELECT term, count(*) OVER (PARTITION BY term) AS df, "
+            "doc_id, tf, first_pos, "
+            "row_number() OVER (PARTITION BY term "
+            "ORDER BY tf DESC, doc_id ASC) AS posting_rank FROM terms) "
+            "WHERE posting_rank <= 20"
+        ),
+        # ratio-TF-IDF keywords: exact integer floor division
+        "tfidf_keywords": (
+            _DOC_TERMS_CTE
+            + ", dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term), "
+            "scored AS (SELECT t.doc_id, t.term, t.tf, d.df, "
+            "(t.tf * 1000000) // d.df AS score "
+            "FROM terms t JOIN dfreq d USING (term)), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS keyword_rank FROM scored) "
+            "SELECT doc_id, term, tf, df, score, keyword_rank "
+            "FROM ranked WHERE keyword_rank <= 5"
         ),
     }
 

@@ -147,6 +147,8 @@ def main() -> None:
         "fetch_schedule": "slot_exact",
         "lm_score": "mean_p",
         "lm_backoff": "mean_p",
+        "inverted_postings": "posting_rank",
+        "tfidf_keywords": "score",
     }
     for name in [
         "page_sequence",
@@ -178,6 +180,8 @@ def main() -> None:
         "anchors",
         "crawl_delay_schedule",
         "dedup_incremental",
+        "inverted_postings",
+        "tfidf_keywords",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

@@ -136,8 +136,12 @@ def main() -> None:
                           "n": lo, "four_n": hi,
                           "scaling_efficiency": round(eff, 3)}))
         return
-    lo = run_group(1, 8, 64, n_docs, n_runs=4)
-    hi = run_group(4, 8, 64, n_docs, n_runs=4)
+    n_runs = 4
+    for a, arg in enumerate(sys.argv):
+        if arg == "--runs" and a + 1 < len(sys.argv):
+            n_runs = int(sys.argv[a + 1])
+    lo = run_group(1, 8, 64, n_docs, n_runs=n_runs)
+    hi = run_group(4, 8, 64, n_docs, n_runs=n_runs)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     print(json.dumps({
         "mode": "multi-jvm executors (1x vs 4x local[8], disjoint slices)",
