@@ -1031,13 +1031,14 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed inverted-index build: flat capped posting lists
     (term, df, doc_id, tf, first_pos, posting_rank), impact-ordered
-    (tf desc), df computed UNCAPPED in the same window pass. One
-    term-keyed shuffle; cap via the pre-aggregation row_number
-    pattern shared with the LSH bucket caps."""
+    (tf desc), df computed UNCAPPED. Runs the SALTED two-phase cap
+    (the 10^12-doc stopword-skew path: partial top-cap per
+    (term, salt), exact final rank — output-identical to the direct
+    single-window form, which this oracle therefore pins)."""
     from solrizer_spark.operators.indexing import inverted_postings
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    return inverted_postings(docs, max_postings_per_term=20)
+    return inverted_postings(docs, max_postings_per_term=20, salt_partitions=4)
 
 
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

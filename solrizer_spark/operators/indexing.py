@@ -11,9 +11,11 @@ negatives, keyword-based routing, sparse features) can consume them.
 
 Scale notes (100 TB):
 
-* Both operators are ONE data shuffle each, keyed by term, with
-  map-side partial aggregation (`groupBy(term, doc)` counts combine
-  before the exchange).
+* The per-(doc, term) count shuffles once with map-side partial
+  aggregation; the term-keyed rank adds one window shuffle (direct
+  form), or two bounded ones on the salted stopword-skew path the
+  oracle pins (`salt_partitions > 1`) — skew immunity traded for one
+  extra exchange over already-compacted rows.
 * Posting lists are CAPPED with the same pre-aggregation
   `row_number` pattern as the LSH bucket caps (dedup.py): the window
   runs per term partition, so no term — however common — materializes
@@ -65,26 +67,73 @@ def inverted_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_postings_per_term: int = 1000,
+    salt_partitions: int = 1,
 ) -> DataFrame:
     """Flat inverted index: one row per (term, document) posting —
     ``(term, df, doc_id, tf, first_pos, posting_rank)`` — capped at
     ``max_postings_per_term`` postings per term, ranked tf-descending
     (impact order; rank ties broken by doc id for determinism).
 
-    ``df`` is the UNCAPPED document frequency (computed in the same
-    window pass, no second shuffle), so downstream scoring sees true
-    corpus statistics even where the posting list truncates. The flat
-    relation shape (not ``array<struct>``) keeps every column scalar
-    — partition-friendly for a bucketed-by-term index table, and
-    directly joinable against query terms."""
+    ``df`` is the UNCAPPED document frequency, so downstream scoring
+    sees true corpus statistics even where the posting list
+    truncates. The flat relation shape (not ``array<struct>``) keeps
+    every column scalar — partition-friendly for a bucketed-by-term
+    index table, and directly joinable against query terms.
+
+    ``salt_partitions`` is the stopword-skew valve: with the direct
+    single-window rank, a term appearing in every document drags one
+    row per containing doc into ONE window partition (the cap bounds
+    the output, not the sort). ``salt_partitions = S > 1`` switches
+    to the standard two-phase capped rank — partial top-cap per
+    ``(term, hash(doc) % S)`` (any global top-cap row is in its
+    salt's top-cap, so this is output-IDENTICAL, pinned by test and
+    by the oracle running against the salted path), then the exact
+    final rank over ≤ S·cap survivors per term. Exact ``df`` is kept
+    by summing each salt group's pre-cap count once (on its rank-1
+    row). At 10^12 docs pick S ≈ executors so no partition exceeds
+    ``corpus_df(term)/S`` rows."""
     terms = doc_terms(df, id_col, text_col)
-    w = Window.partitionBy("term").orderBy(
+    if salt_partitions <= 1:
+        w = Window.partitionBy("term").orderBy(
+            F.col("tf").desc(), F.col(id_col).asc()
+        )
+        return (
+            terms.withColumn("posting_rank", F.row_number().over(w))
+            .withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
+            .where(F.col("posting_rank") <= max_postings_per_term)
+            .select("term", "df", id_col, "tf", "first_pos", "posting_rank")
+        )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_partitions))
+    w1 = Window.partitionBy("term", "_salt").orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    phase1 = (
+        terms.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .withColumn(
+            "_salt_cnt",
+            # share w1's partition+order spec (unbounded frame) so
+            # CollapseWindow evaluates both in ONE Window pass
+            F.count(F.lit(1)).over(
+                w1.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .where(F.col("_r1") <= max_postings_per_term)
+    )
+    w2 = Window.partitionBy("term").orderBy(
         F.col("tf").desc(), F.col(id_col).asc()
     )
     return (
-        terms.withColumn("posting_rank", F.row_number().over(w))
+        phase1.withColumn("posting_rank", F.row_number().over(w2))
         .withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            "df",
+            F.sum(
+                F.when(F.col("_r1") == 1, F.col("_salt_cnt"))
+            ).over(Window.partitionBy("term")),
         )
         .where(F.col("posting_rank") <= max_postings_per_term)
         .select("term", "df", id_col, "tf", "first_pos", "posting_rank")

@@ -59,6 +59,29 @@ def test_inverted_postings_cap_keeps_df_uncapped(spark):
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["posting_rank"])] == [0, 1, 2]
 
 
+def test_salted_postings_identical_to_direct(spark):
+    """The two-phase salted cap (stopword-skew path) is
+    output-identical to the direct single-window rank — incl. exact
+    uncapped df — on a corpus where several terms exceed the cap."""
+    rows = []
+    for i in range(40):
+        words = ["common"]
+        if i % 2 == 0:
+            words.append("even even")
+        if i % 3 == 0:
+            words.append("third")
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(
+        map(tuple, inverted_postings(df, max_postings_per_term=5).collect())
+    )
+    for s in (2, 4, 7):
+        salted = inverted_postings(df, max_postings_per_term=5,
+                                   salt_partitions=s)
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, f"salt_partitions={s} diverged"
+
+
 def test_tfidf_keywords_exact_scores(spark):
     out = tfidf_keywords(_corpus(spark), k=2)
     by_doc = {}

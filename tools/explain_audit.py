@@ -207,6 +207,25 @@ def main() -> int:
         f"bhj={p14.count('BroadcastHashJoin')} smj={p14.count('SortMergeJoin')}",
     )
 
+    # 15. index build: no cartesian/python; postings (salted two-phase
+    # cap) stays within bounded window passes; tfidf's df join is a
+    # hash join (broadcast at this scale; shuffle-hash/SMJ + AQE skew
+    # split at corpus scale), never nested-loop
+    p15 = plan_of(em.q_inverted_postings(spark, sf))
+    check(
+        "inverted_postings_no_python_no_cartesian",
+        "EvalPython" not in p15 and "CartesianProduct" not in p15,
+        f"exchanges={p15.count('Exchange')}",
+    )
+    p16 = plan_of(em.q_tfidf_keywords(spark, sf))
+    check(
+        "tfidf_hash_join_no_python",
+        "EvalPython" not in p16
+        and "CartesianProduct" not in p16
+        and "BroadcastNestedLoopJoin" not in p16,
+        f"exchanges={p16.count('Exchange')} bhj={p16.count('BroadcastHashJoin')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
