@@ -1041,6 +1041,23 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_postings(docs, max_postings_per_term=20, salt_partitions=4)
 
 
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over the built index: top-20 docs for a 3-term
+    query, conjunctive-first OR ranking (n_matched desc, integer
+    ratio-TF-IDF score desc, doc_id asc). The term filter pushes into
+    the postings relation; top-k is TakeOrdered."""
+    from solrizer_spark.operators.indexing import (
+        inverted_postings,
+        search_postings,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = inverted_postings(docs, max_postings_per_term=50)
+    return search_postings(
+        postings, ["spark", "window", "merge"], k=20
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 keywords per document by integer ratio-TF-IDF
     (score = tf*10^6 div df — exact integer floor division; log-idf
@@ -1427,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "inverted_postings": q_inverted_postings,
         "tfidf_keywords": q_tfidf_keywords,
+        "keyword_search": q_keyword_search,
         # rows-only queries (no oracle_sql entry) go LAST so a harness
         # canonicalizer incompatibility can never shadow oracle-checked
         # queries that follow them in dict order
@@ -2335,6 +2353,24 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY term "
             "ORDER BY tf DESC, doc_id ASC) AS posting_rank FROM terms) "
             "WHERE posting_rank <= 20"
+        ),
+        # retrieval over the capped index: OR match, conjunctive-first
+        # deterministic ranking, same cap (50) as the Spark postings
+        "keyword_search": (
+            _DOC_TERMS_CTE
+            + ", postings AS (SELECT term, df, doc_id, tf FROM ("
+            "SELECT term, count(*) OVER (PARTITION BY term) AS df, "
+            "doc_id, tf, "
+            "row_number() OVER (PARTITION BY term "
+            "ORDER BY tf DESC, doc_id ASC) AS posting_rank FROM terms) "
+            "WHERE posting_rank <= 50), "
+            "matched AS (SELECT doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_matched, "
+            "CAST(sum((tf * 1000000) // df) AS BIGINT) AS score "
+            "FROM postings WHERE term IN ('spark', 'window', 'merge') "
+            "GROUP BY doc_id) "
+            "SELECT doc_id, n_matched, score FROM matched "
+            "ORDER BY n_matched DESC, score DESC, doc_id ASC LIMIT 20"
         ),
         # ratio-TF-IDF keywords: exact integer floor division
         "tfidf_keywords": (

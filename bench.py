@@ -149,6 +149,7 @@ def main() -> None:
         "lm_backoff": "mean_p",
         "inverted_postings": "posting_rank",
         "tfidf_keywords": "score",
+        "keyword_search": "score",
     }
     for name in [
         "page_sequence",
@@ -182,6 +183,7 @@ def main() -> None:
         "dedup_incremental",
         "inverted_postings",
         "tfidf_keywords",
+        "keyword_search",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["doc_terms", "inverted_postings", "tfidf_keywords"]
+__all__ = [
+    "doc_terms",
+    "inverted_postings",
+    "search_postings",
+    "tfidf_keywords",
+]
 
 #: Scale factor for the integer idf ratio (6 decimal digits).
 IDF_SCALE = 1_000_000
@@ -138,6 +143,38 @@ def inverted_postings(
         .where(F.col("posting_rank") <= max_postings_per_term)
         .select("term", "df", id_col, "tf", "first_pos", "posting_rank")
     )
+
+
+def search_postings(
+    postings: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Keyword-search top-``k`` over an :func:`inverted_postings`
+    relation: ``(id, n_matched, score)`` for the ``k`` best documents
+    matching any query term — OR semantics ranked
+    conjunctive-first (terms matched desc, then integer ratio-TF-IDF
+    score desc, then id asc for a deterministic total order).
+
+    The query-term filter is an ``isin`` literal predicate, so it
+    PUSHES DOWN into the postings scan (a stored index table bucketed
+    by term prunes to the touched buckets — the point of building the
+    index); the per-doc aggregation then runs over only the matched
+    postings (≤ |query| · cap rows), and the top-k compiles to
+    TakeOrderedAndProject — no global sort. Scoring is exact integer
+    arithmetic (``tf · IDF_SCALE div df`` summed), same
+    reproducibility rationale as :func:`tfidf_keywords`."""
+    matched = postings.where(F.col("term").isin(list(query_terms)))
+    scored = matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.expr(f"(tf * CAST({IDF_SCALE} AS BIGINT)) div df")).alias(
+            "score"
+        ),
+    )
+    return scored.orderBy(
+        F.col("n_matched").desc(), F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def tfidf_keywords(

@@ -101,6 +101,31 @@ def test_tfidf_keywords_exact_scores(spark):
     assert 4 not in by_doc and 5 not in by_doc
 
 
+def test_search_postings_conjunctive_first(spark):
+    """A doc matching MORE query terms outranks a doc with a higher
+    single-term score; ties broken deterministically."""
+    from solrizer_spark.operators.indexing import (
+        inverted_postings,
+        search_postings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark window"),            # matches 2 terms
+            (2, "spark spark spark spark"), # 1 term, big tf
+            (3, "window"),
+            (4, "noise only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    postings = inverted_postings(df)
+    out = search_postings(postings, ["spark", "window"], k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert out[0]["n_matched"] == 2
+    # absent query terms match nothing
+    assert search_postings(postings, ["absent"], k=3).count() == 0
+
+
 def test_tfidf_rank_window_is_per_doc(spark):
     out = tfidf_keywords(_corpus(spark), k=1)
     rows = out.collect()

@@ -226,6 +226,15 @@ def main() -> int:
         f"exchanges={p16.count('Exchange')} bhj={p16.count('BroadcastHashJoin')}",
     )
 
+    # 16. retrieval over the index: top-k is TakeOrdered (no global
+    # sort exchange), pure JVM
+    p17 = plan_of(em.q_keyword_search(spark, sf))
+    check(
+        "keyword_search_takeordered",
+        "TakeOrderedAndProject" in p17 and "EvalPython" not in p17,
+        f"python={p17.count('EvalPython')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
