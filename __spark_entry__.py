@@ -1007,20 +1007,35 @@ def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_words(docs, "text", k=200)
 
 
+#: parquet side table q_bpe_tokens materializes for its oracle: the
+#: oracle re-derives every doc's token stream FROM THE LEARNED MERGES
+#: (recursive CTE), so tokenization is value-checked, not rows-only
+BPE_MERGES_ORACLE_PATH = "/tmp/solrizer_bpe_merges_oracle"
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE end-to-end: learn 64 merges from the corpus (distributed
     word count -> bounded top-k collect -> driver merge loop), then
     tokenize with one Arrow-batched, word-memoized pandas UDF.
-    Rows-only check: merge learning is iterative and not
-    SQL-expressible; semantics pinned by tests/test_bpe.py (classic
-    Sennrich merge-order case + hypothesis round-trip property).
+
+    VALUE-CHECKED: merge LEARNING is iterative (not SQL-expressible;
+    pinned by tests/test_bpe.py — classic Sennrich merge-order case +
+    hypothesis round-trip property), but tokenization GIVEN the
+    learned merges is deterministic, so the query persists the merge
+    table to ``BPE_MERGES_ORACLE_PATH`` and the DuckDB oracle
+    re-applies the merges per word with a recursive CTE (sequential
+    Sennrich passes — equivalent to the engine's GPT-2 lowest-rank
+    greedy loop for self-consistent learned merge lists, where every
+    pair's components are single symbols or products of strictly
+    earlier merges) and reassembles per-doc token streams.
     All output columns are SCALAR (the token array is space-joined):
     the driver's canonicalizer sorts raw column values, and an
     array<string> column is unhashable there."""
-    from solrizer_spark.functions.bpe import bpe_tokenize, bpe_train
+    from solrizer_spark.functions.bpe import bpe_tokenize, bpe_train, save_merges
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = bpe_train(docs, "text", num_merges=64, top_k=5000)
+    save_merges(spark, merges, BPE_MERGES_ORACLE_PATH)
     return bpe_tokenize(docs, merges, "text").select(
         "doc_id",
         F.size("bpe_tokens").alias("n_bpe_tokens"),
@@ -1379,6 +1394,63 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation-chain COMPOSITION through curate.apply_op —
+    the spark-submit entrypoint's own op dispatcher — running the
+    canonical cleaning chain linededup → normalize → scrub →
+    exactdedup → mix over a corpus with injected boilerplate lines,
+    tab-mangled duplicate bodies, and per-doc PII. This pins the
+    column contracts BETWEEN stages (each op both consumes and renames
+    the text column), not just each operator alone:
+
+    * corpus-constant banner/footer lines are dropped by linededup
+      (count >= 3); the pair bodies appear exactly twice so they
+      survive it;
+    * the PII line is unique per doc BEFORE scrubbing, identical
+      AFTER — so exactdedup's result depends on scrub having run
+      (docs doc_id%10 in (6,7) share a body and collapse to the
+      doc_id%10==6 row only post-scrub);
+    * mix's per-language counts are over the POST-dedup corpus.
+    """
+    import argparse
+
+    import curate
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    k = F.col("doc_id")
+    pair_body = F.concat(
+        F.lit("PAIR\tBODY "), F.floor(k / 10).cast("long").cast("string")
+    )
+    body = F.when((k % 10).isin(6, 7), pair_body).otherwise(F.col("text"))
+    pii_line = F.concat(
+        F.lit("Contact user"), k.cast("string"),
+        F.lit("@ex"), (k % 9).cast("string"), F.lit(".com at 10.0."),
+        (k % 256).cast("string"), F.lit("."), (k % 100).cast("string"),
+        F.lit(" or 555-"), F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((k * 7 % 10000).cast("string"), 4, "0"), F.lit(" now"),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            "\n",
+            F.lit("SHARED COOKIE BANNER"),
+            body,
+            pii_line,
+            F.concat(F.lit("footer-"), (k % 7).cast("string")),
+            F.lit("ALL RIGHTS RESERVED"),
+        ).alias("text"),
+    )
+    args = argparse.Namespace(
+        line_min_count=3, mix_source_col="lang", mix_temperature=0.5
+    )
+    df = base
+    persisted: list = []
+    for op in ("linededup", "normalize", "scrub", "exactdedup", "mix"):
+        df = curate.apply_op(df, op, args, "doc_id", "text", persisted)
+    return df.select("doc_id", "lang", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -1445,9 +1517,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "tfidf_keywords": q_tfidf_keywords,
         "keyword_search": q_keyword_search,
-        # rows-only queries (no oracle_sql entry) go LAST so a harness
-        # canonicalizer incompatibility can never shadow oracle-checked
-        # queries that follow them in dict order
+        "curate_chain": q_curate_chain,
+        # bpe_tokens gained a value-level oracle in round 4 (merge
+        # side table + recursive-CTE re-tokenization); it stays last
+        # per the standing rule that any future rows-only / exotic
+        # query must go at the END of this dict, so a harness
+        # canonicalizer incompatibility can never shadow
+        # oracle-checked queries that follow it in dict order
         "bpe_tokens": q_bpe_tokens,
     }
 
@@ -2383,6 +2459,100 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, term ASC) AS keyword_rank FROM scored) "
             "SELECT doc_id, term, tf, df, score, keyword_rank "
             "FROM ranked WHERE keyword_rank <= 5"
+        ),
+        # tokenization value-check from the merge table the query
+        # materializes (see q_bpe_tokens): each distinct word starts
+        # as chr(31)-separated chars + '</w>', then the merges are
+        # applied in rank order; one recursion step = one replace()
+        # pass (all non-overlapping occurrences), advancing to the
+        # next rank only at fixpoint — equivalent to the engine's
+        # lowest-rank greedy loop for learned (self-consistent)
+        # merge lists. Per-doc streams reassembled in word order.
+        "bpe_tokens": (
+            "WITH RECURSIVE "
+            "merges AS (SELECT rank, \"left\" AS l, \"right\" AS r "
+            "FROM read_parquet('" + BPE_MERGES_ORACLE_PATH + "/*.parquet')), "
+            "nm AS (SELECT CAST(count(*) AS INT) AS n FROM merges), "
+            "words AS (SELECT DISTINCT unnest(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS word FROM documents), "
+            "bpe(word, s, rank) AS ("
+            "SELECT word, chr(31) || array_to_string(list_transform("
+            "generate_series(1, length(word)), i -> word[i]), chr(31)) "
+            "|| chr(31) || '</w>' || chr(31), 0 FROM words "
+            "UNION ALL "
+            "SELECT b.word, "
+            "replace(b.s, chr(31) || m.l || chr(31) || m.r || chr(31), "
+            "chr(31) || m.l || m.r || chr(31)), "
+            "CASE WHEN replace(b.s, chr(31) || m.l || chr(31) || m.r || chr(31), "
+            "chr(31) || m.l || m.r || chr(31)) = b.s "
+            "THEN b.rank + 1 ELSE b.rank END "
+            "FROM bpe b JOIN merges m ON m.rank = b.rank "
+            "WHERE b.rank < (SELECT n FROM nm)), "
+            "tok AS (SELECT word, trim(replace(s, chr(31), ' ')) AS spaced, "
+            "CAST(len(string_split(s, chr(31))) - 2 AS BIGINT) AS n_toks "
+            "FROM bpe WHERE rank = (SELECT n FROM nm)), "
+            "dw AS (SELECT doc_id, u.ord AS ord, u.word AS word FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)), "
+            "i -> {'ord': i, 'word': ws[i]})) AS u "
+            "FROM (SELECT doc_id, regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS ws FROM documents))) "
+            "SELECT d.doc_id, "
+            "coalesce(CAST(sum(t.n_toks) AS BIGINT), 0) AS n_bpe_tokens, "
+            "coalesce(string_agg(t.spaced, ' ' ORDER BY dw.ord), '') AS bpe_text "
+            "FROM documents d "
+            "LEFT JOIN dw ON d.doc_id = dw.doc_id "
+            "LEFT JOIN tok t ON dw.word = t.word "
+            "GROUP BY d.doc_id"
+        ),
+        # full-fidelity replay of the 5-op curation chain: every
+        # stage re-derived in SQL (linededup per-line counts, RE2
+        # normalize/scrub regexes shared with the Spark side,
+        # min-id-per-text-hash dedup, post-dedup temperature mix)
+        "curate_chain": (
+            "WITH base AS (SELECT doc_id, lang, "
+            "'SHARED COOKIE BANNER' || chr(10) || "
+            "CASE WHEN doc_id % 10 IN (6, 7) THEN "
+            "'PAIR' || chr(9) || 'BODY ' || CAST(doc_id // 10 AS VARCHAR) "
+            "ELSE text END || chr(10) || "
+            "'Contact user' || CAST(doc_id AS VARCHAR) || '@ex' || "
+            "CAST(doc_id % 9 AS VARCHAR) || '.com at 10.0.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+            "CAST(doc_id % 100 AS VARCHAR) || ' or 555-' || "
+            "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+            "lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') || ' now' "
+            "|| chr(10) || 'footer-' || CAST(doc_id % 7 AS VARCHAR) || "
+            "chr(10) || 'ALL RIGHTS RESERVED' AS t FROM documents), "
+            "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM ("
+            "SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)), "
+            "i -> {'idx': i, 'line': ls[i]})) AS u "
+            "FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM base))), "
+            "c AS (SELECT line, count(*) AS n FROM e GROUP BY line), "
+            "ld AS (SELECT doc_id, "
+            "string_agg(CASE WHEN n < 3 THEN line END, chr(10) ORDER BY idx) "
+            "AS cleaned, count(CASE WHEN n < 3 THEN 1 END) AS kept "
+            "FROM e JOIN c USING (line) GROUP BY doc_id), "
+            "norm AS (SELECT b.doc_id, b.lang, trim(regexp_replace("
+            "regexp_replace(ld.cleaned, '[\\x00-\\x1f\\x7f]', ' ', 'g'), "
+            "'\\s+', ' ', 'g')) AS t "
+            "FROM ld JOIN base b USING (doc_id) WHERE ld.kept > 0), "
+            "scrubbed AS (SELECT doc_id, lang, regexp_replace(regexp_replace("
+            "regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g'), "
+            "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') AS t "
+            "FROM norm), "
+            "ded AS (SELECT doc_id, lang, t FROM scrubbed "
+            "QUALIFY row_number() OVER (PARTITION BY "
+            "md5(coalesce(t, CAST(doc_id AS VARCHAR))) "
+            "ORDER BY doc_id ASC) = 1), "
+            "cc AS (SELECT lang, count(*) AS n FROM ded GROUP BY lang), "
+            "r AS (SELECT lang, CAST(floor(least(1.0, "
+            "pow(n::DOUBLE / (SELECT min(n) FROM cc), -0.5)) * 1000000) "
+            "AS BIGINT) AS cut FROM cc) "
+            "SELECT d.doc_id, d.lang, d.t AS text FROM ded d "
+            "JOIN r USING (lang) WHERE "
+            "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT % 1000000 < cut"
         ),
     }
 
