@@ -79,6 +79,21 @@ _MEGA_DOMAINS = ["mega0.example.org", "mega1.example.org", "mega2.example.org"]
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
+def _link_dst(i: int, k: int) -> str:
+    """Cross-site link-farm target for page ``i``, slot ``k`` — pure
+    ``(i, k)`` arithmetic so the per-page ``rng`` stream (and with it
+    every byte-stable golden) is untouched. Targets are DISTINCT
+    registrable domains (the corpus's own page hosts all collapse to
+    the two eTLD+1s ``example.com``/``example.org``, which would
+    yield a 2-node host graph): slot 0 always hits one of 3 hub
+    domains (power-law in-link skew for pagerank); other even slots
+    spread over a 1000-domain long tail."""
+    if k == 0:
+        return f"https://hub{i % 3}.example-hub{i % 3}.net/page/{(i * 7) % 1000}"
+    n = (i * 31 + k * 127) % 1000
+    return f"https://ext{n}.example-ext{n}.net/page/{(i + k) % 1000}"
+
+
 def _words(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_VOCAB) for _ in range(n))
 
@@ -133,9 +148,24 @@ def generate_page(
             for p in paras
         )
         nav = '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+        # Even link-farm slots point at OTHER sites (dst drawn from
+        # (i, k) arithmetic, NOT rng — extra rng draws would perturb
+        # the byte-stable goldens of later fields) so generated
+        # corpora carry a non-empty host graph: mega-domains take the
+        # k=0 slot on every page → realistic in-link skew for
+        # host_edges/pagerank; odd slots stay site-relative. href
+        # values never reach extraction output (only anchor text
+        # does), so every extraction golden is unchanged.
         farm = (
             '<div class="links">'
-            + " ".join(f'<a href="/t/{k}">{rng.choice(_VOCAB)}</a>' for k in range(6))
+            + " ".join(
+                (
+                    f'<a href="{_link_dst(i, k)}">{rng.choice(_VOCAB)}</a>'
+                    if k % 2 == 0
+                    else f'<a href="/t/{k}">{rng.choice(_VOCAB)}</a>'
+                )
+                for k in range(6)
+            )
             + "</div>"
         )
         footer = f"<footer>Copyright 2026 {domain}</footer>"

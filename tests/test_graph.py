@@ -130,3 +130,31 @@ def test_pagerank_partitioning_invariance(spark):
     b = {r["node"]: r["rank"]
          for r in pagerank(df.repartition(13), iterations=5).collect()}
     assert a == b == EXPECTED
+
+
+def test_generated_corpus_host_graph_nonempty(spark):
+    """The corpus generator's link farm carries absolute cross-site
+    links (even slots; `_link_dst`), so `host_edges` over a generated
+    corpus is non-vacuous — a 2000-page job run was silently writing
+    an EMPTY host graph before round 4 (relative-only hrefs). Anchor
+    text is rng-drawn exactly as before, so extraction goldens are
+    untouched (pinned by the golden/snapshot suites)."""
+    from solrizer_spark.corpus.generator import generate_page
+    from solrizer_spark.operators.graph import host_edges
+
+    rows = [
+        generate_page(i, seed=42)[0]
+        for i in range(40)
+        if generate_page(i, seed=42)[0]["html"] is not None
+    ]
+    df = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in rows], "url string, html binary"
+    )
+    edges = host_edges(df, html_col="html", url_col="url").collect()
+    assert edges, "generated corpus must produce host-graph edges"
+    dsts = {e["dst"] for e in edges}
+    # hub domains (slot 0) and long-tail ext domains are both present,
+    # and page hosts collapse to their registrable eTLD+1 on the src side
+    assert any(d.startswith("example-hub") for d in dsts)
+    assert any(d.startswith("example-ext") for d in dsts)
+    assert {e["src"] for e in edges} <= {"example.com", "example.org"}

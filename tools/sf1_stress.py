@@ -113,6 +113,9 @@ def main() -> None:
             ).alias("text"),
             F.col("rep"),
         )
+        # the sf0.1 parquet is one file → one partition; without this
+        # the whole 10× corpus' shingling/minhashing runs in ONE task
+        .repartition(64, "doc_id")
         .persist()
     )
     n_docs = docs.count()
@@ -139,11 +142,19 @@ def main() -> None:
     # same banding expressions as minhash_lsh_pairs, occupancy counted
     # after cap_bucket_rows
     def bucket_probe():
-        banded = docs.select(
+        # materialize signatures BEFORE banding (exactly like
+        # minhash_lsh_pairs' persisted base): composing the raw
+        # banding-over-signature-over-shingle expression lets
+        # Catalyst's project collapsing inline the shingle transform
+        # into all 64 hash terms × 16 band slices — a ~1000×
+        # recompute that turns a 15 s stage into hours
+        sig_df = docs.select(
             F.col("doc_id").alias("_id"),
-            band_key_expr(
-                minhash_signatures(word_shingles("text", 3), 64), 16, 4
-            ).alias("bk"),
+            minhash_signatures(word_shingles("text", 3), 64).alias("_sig"),
+        ).persist()
+        sig_df.count()
+        banded = sig_df.select(
+            "_id", band_key_expr(F.col("_sig"), 16, 4).alias("bk")
         )
         uncapped = (
             banded.groupBy("bk.band", "bk.key")
@@ -160,6 +171,7 @@ def main() -> None:
             .agg(F.max("n").alias("mx"))
             .collect()[0]["mx"]
         )
+        sig_df.unpersist()
         return uncapped, capped_mx
 
     uncapped_mx, capped_mx = measure("bucket_probe", bucket_probe)
