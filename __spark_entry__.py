@@ -414,7 +414,10 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://host"), m, F.lit(".example.com"), sect,
                  F.col("doc_id").cast("string")),
     )
-    robots = spark.createDataFrame(
+    from solrizer_spark.session import local_df
+
+    robots = local_df(
+        spark,
         [("host0.example.com", ["/private/", "/tmp/"], []),
          ("host1.example.com", ["/private/"], ["/private/1*"]),
          ("host2.example.com", [], []),

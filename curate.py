@@ -155,7 +155,9 @@ def apply_op(
         spark = df.sparkSession
         with open(args.benchmark_file, encoding="utf-8") as fh:
             rows = [(line.rstrip("\n"),) for line in fh if line.strip()]
-        bench = spark.createDataFrame(rows, "text string")
+        from solrizer_spark.session import local_df
+
+        bench = local_df(spark, rows, "text string")
         flagged = flag_contaminated(df.select(id_col, text_col), bench,
                                     id_col=id_col, text_col=text_col)
         dirty = flagged.where(F.col("contaminated")).select(id_col)

@@ -59,7 +59,16 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     One explode + one groupBy: Spark's partial aggregation combines
     counts map-side, so the shuffle carries (word, partial_count)
-    pairs — bounded by per-partition *vocabulary*, not corpus size."""
+    pairs — bounded by per-partition *vocabulary*, not corpus size.
+
+    The regexp explode is the expensive map side, so it gets the same
+    small-input parallelism guard as ``bpe_tokenize``: a corpus in
+    fewer files than cores would otherwise tokenize in that many
+    tasks (one, for the single-file bench tables); at real scale the
+    scan has ≥ cores splits and the guard is a no-op."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
     return (
         df.select(F.explode(pre_tokens(text_col)).alias("word"))
         .groupBy("word")
@@ -224,6 +233,15 @@ def bpe_tokenize(
 
         return texts.map(tok)
 
+    # Arrow-UDF stages inherit the scan's split count; a small corpus
+    # in one parquet file = ONE task no matter how many cores (the
+    # tokenize stage of the sf0.1 bench ran 1/32 of capacity). At
+    # 100 TB the scan yields thousands of splits and this is a no-op;
+    # below the cores count it's a cheap narrow-ish shuffle that buys
+    # full parallelism for the Python stage.
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
     return df.withColumn(out_col, _tokenize(F.col(text_col)))
 
 
@@ -235,9 +253,11 @@ def save_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
     """Persist learned merges as a ``(rank, left, right)`` parquet
     table — the tokenizer artifact a training run ships alongside its
     corpus (rank preserves application priority)."""
+    from solrizer_spark.session import local_df
+
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    spark.createDataFrame(
-        rows, "rank long, left string, right string"
+    local_df(
+        spark, rows, "rank long, left string, right string"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -283,8 +303,10 @@ def build_vocab(
         "token",
         (F.row_number().over(w) - 1 + len(specials)).cast("long").alias("id"),
     )
-    special_rows = spark.createDataFrame(
-        [(t, i) for i, t in enumerate(specials)], "token string, id long"
+    from solrizer_spark.session import local_df
+
+    special_rows = local_df(
+        spark, [(t, i) for i, t in enumerate(specials)], "token string, id long"
     )
     return special_rows.unionByName(ranked)
 

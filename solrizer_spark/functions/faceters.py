@@ -111,8 +111,10 @@ def vocab_label_join(
     broadcast-joining the (uri, label) dim; unknown URIs (and nulls)
     fall back to the URI value itself."""
     spark = df.sparkSession
-    dim = spark.createDataFrame(
-        vocab or RIGHTS_VOCAB, "___vocab_uri string, ___vocab_label string"
+    from solrizer_spark.session import local_df
+
+    dim = local_df(
+        spark, vocab or RIGHTS_VOCAB, "___vocab_uri string, ___vocab_label string"
     )
     return (
         df.join(F.broadcast(dim), F.col(uri_col) == F.col("___vocab_uri"), "left")

@@ -92,4 +92,6 @@ def lang_names_df(spark: SparkSession) -> DataFrame:
     rows = [(code, name) for code, name in ISO639_NAMES.items()] + [
         (c3, ISO639_NAMES[c2]) for c3, c2 in ISO639_3TO2.items()
     ]
-    return spark.createDataFrame(rows, "code string, name string")
+    from solrizer_spark.session import local_df
+
+    return local_df(spark, rows, "code string, name string")

@@ -802,10 +802,13 @@ def write_lsh_index(
     capped.select(
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_id"
     ).write.mode("overwrite").parquet(f"{path}/bands")
-    spark.createDataFrame(
+    from solrizer_spark.session import local_df
+
+    local_df(
+        spark,
         [(shingle_n, num_hashes, bands, max_bucket)],
         "shingle_n int, num_hashes int, bands int, max_bucket int",
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def dedup_against_index(

@@ -526,7 +526,10 @@ def index_record(
     import json
 
     ts = warc_ts or _dt.datetime(2024, 1, 1)
-    df = spark.createDataFrame(
+    from solrizer_spark.session import local_df
+
+    df = local_df(
+        spark,
         [(url, ts, html, text, lang)],
         "url string, warc_ts timestamp, html binary, text string, lang string",
     )

@@ -57,3 +57,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema: str):
+    """Driver-local rows → DataFrame via the pandas/Arrow path: a
+    single JVM LocalRelation, zero Python-worker partitions.
+
+    The plain list form ``spark.createDataFrame(rows, ddl)`` pickles
+    the rows into ``defaultParallelism`` Python partitions; every
+    later action then launches that many Python workers for a
+    handful of rows — and under ``coalesce(1)`` (tiny parquet
+    artifacts like tokenizer merge tables) those evaluate SERIALLY
+    in one task: a measured ~5 s to write 64 rows on 32 cores, vs
+    ~0.2 s through this helper. Small dims/params tables should
+    always enter through here; real data comes from files anyway.
+
+    Falls back to the plain path for rows pandas/Arrow can't convert
+    (never expected for the scalar/bytes/timestamp dims we build).
+    """
+    import pandas as pd
+
+    cols = [f.split(None, 1)[0] for f in schema.split(",")]
+    try:
+        pdf = pd.DataFrame([tuple(r) for r in rows], columns=cols)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(list(rows), schema)

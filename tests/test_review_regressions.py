@@ -218,3 +218,23 @@ def test_iiif_links_rejects_non_struct_pages(spark):
     )
     with _pytest.raises(ValueError, match="array of structs"):
         run_chain(df, ["iiif_links"])
+
+
+def test_local_df_is_jvm_local_relation(spark):
+    """`local_df` (session.py) must enter via the pandas/Arrow path:
+    one JVM-local partition, no Python-worker evaluation — the plain
+    pickled-list `createDataFrame` spreads a 64-row dim over
+    defaultParallelism Python partitions, which a downstream
+    coalesce(1) then evaluates SERIALLY (~5 s to write a tokenizer
+    merge table on 32 cores vs ~0.2 s via Arrow)."""
+    from solrizer_spark.session import local_df
+
+    rows = [(i, f"w{i}", ["a", "b"] if i % 2 else []) for i in range(64)]
+    df = local_df(spark, rows, "rank long, word string, tags array<string>")
+    got = sorted((r["rank"], r["word"], list(r["tags"])) for r in df.collect())
+    assert got == [(i, f"w{i}", ["a", "b"] if i % 2 else []) for i in range(64)]
+    # the discriminator: Arrow entry is a JVM LocalTableScan; the
+    # pickled-list path shows up as "Scan ExistingRDD" (Python eval)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
