@@ -66,9 +66,9 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     fewer files than cores would otherwise tokenize in that many
     tasks (one, for the single-file bench tables); at real scale the
     scan has ≥ cores splits and the guard is a no-op."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        df = df.repartition(want)
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return (
         df.select(F.explode(pre_tokens(text_col)).alias("word"))
         .groupBy("word")
@@ -239,9 +239,9 @@ def bpe_tokenize(
     # 100 TB the scan yields thousands of splits and this is a no-op;
     # below the cores count it's a cheap narrow-ish shuffle that buys
     # full parallelism for the Python stage.
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        df = df.repartition(want)
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.withColumn(out_col, _tokenize(F.col(text_col)))
 
 

@@ -178,8 +178,12 @@ def minhash_lsh_pairs(
     :func:`cap_bucket_rows`), bounding both the quadratic pair
     blow-up AND the aggregation-buffer memory of degenerate clusters.
     """
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
     rows_per_band = num_hashes // bands
-    base = df.select(
+    # shingling + 64-hash signatures are the CPU-heavy map side; a
+    # few-file corpus would otherwise compute them in that few tasks
+    base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_n).alias("_sh"),
     ).withColumn("_sig", minhash_signatures(F.col("_sh"), num_hashes))
@@ -307,10 +311,16 @@ def simhash_near_dup_pairs(
     too. Within the cap the pigeonhole guarantee is total recall;
     truncated buckets trade recall for boundedness, like
     minhash_lsh_pairs."""
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
     assert chunks >= max_hamming + 1
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    base = df.select(F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sh"))
+    # the md5-per-token fingerprint is the CPU-heavy map side — same
+    # small-input parallelism guard as minhash_lsh_pairs
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sh")
+    )
     chunked = base.select(
         "_id",
         "_sh",

@@ -45,3 +45,20 @@ def salted_repartition(
     caught by the skew-balance test)."""
     col = F.col(url_col)
     return df.repartition(num_partitions, F.xxhash64(col, F.lit(salt)))
+
+
+def ensure_min_parallelism(df: DataFrame, floor: int | None = None) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input has fewer partitions — otherwise pass through.
+
+    CPU-heavy stages (minhash/simhash fingerprints, Arrow UDFs, LSH
+    banding) inherit the SCAN's split count: a small corpus in one
+    parquet file runs them in ONE task regardless of cores. At real
+    scale a 100 TB scan yields thousands of splits and this is a
+    no-op; below the floor the narrow shuffle is trivially cheap
+    relative to the work it parallelizes. The check costs one plan
+    analysis (``df.rdd``), no job."""
+    want = floor or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df

@@ -198,7 +198,14 @@ def embedding_near_dup_pairs(
     candidate pairs → exact cosine ≥ threshold. With 8 bands × 8 bits,
     a pair at cos 0.999 collides in ≥1 band with P ≈ 1−3e-8; random
     pairs (cos≈0) collide with P ≈ 8/256."""
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
+    # hyperplane-projection banding over 64-dim vectors is the
+    # CPU-heavy map side — small-input parallelism guard as in
+    # dedup.minhash_lsh_pairs (no-op when the scan has >= cores splits)
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
     if persist_base:
         # feeds banding + both verification-join sides (see
         # dedup.minhash_lsh_pairs)
