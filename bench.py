@@ -84,6 +84,24 @@ def main() -> None:
         steady.append(timings.pop(f"_steady_{i}"))
     timings["extract_pipeline_steady"] = min(steady)
 
+    # -- engine-only variant: input materialized once --------------------
+    # The steady number above recomputes the bench's page SYNTHESIS
+    # (scan → repartition → crossJoin replicate → salted repartition,
+    # ~2 s of the ~4 s at sf0.1×20) inside every timed run. A real job
+    # reads an existing pages table (job.py: scan → ONE salted
+    # repartition → chain), so the chain-only cost over materialized
+    # input is the engine's own throughput. Reported separately —
+    # NOT in the r1-comparable headline set (accounting C unchanged).
+    pages_mat = pages.persist()
+    pages_mat.count()
+    cached_runs = []
+    for i in range(3):
+        timed(f"_cached_{i}", lambda: run_chain(pages_mat)
+              .agg(F.sum(F.length("doc"))).collect())
+        cached_runs.append(timings.pop(f"_cached_{i}"))
+    timings["extract_pipeline_inputcached"] = min(cached_runs)
+    pages_mat.unpersist()
+
     # -- realistic page sizes: ~8 KB HTML (Common-Crawl-ish) ------------
     import tempfile
 
@@ -223,6 +241,9 @@ def main() -> None:
                 "sf": sf_dir,
                 "n_docs_extracted": n_docs,
                 "docs_per_sec": docs_per_sec,
+                "docs_per_sec_engine_only": round(
+                    n_docs / timings["extract_pipeline_inputcached"], 1
+                ),
                 "large_pages_n": n_big,
                 "large_pages_mb_per_sec": large_mb_per_sec,
                 "cpus": cpus,
