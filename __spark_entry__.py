@@ -1010,6 +1010,49 @@ def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_words(docs, "text", k=200)
 
 
+#: parquet side table q_kmeans_clusters materializes for its oracle:
+#: the trained centroids, from which DuckDB re-derives every vector's
+#: assignment (training is iterative; assignment is deterministic)
+KMEANS_CENTROIDS_ORACLE_PATH = "/tmp/solrizer_kmeans_centroids_oracle"
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine IVF centroid training + assignment: distributed
+    spherical k-means (``kmeans_fit`` — Lloyd's over posexplode/
+    groupBy partial sums, deterministic hash-seeded init), then each
+    vector's (cell, cosine-to-centroid).
+
+    VALUE-CHECKED via the BPE pattern: training is iterative (not
+    SQL-expressible), but assignment GIVEN the trained centroids is
+    deterministic, so the query persists the centroids as a
+    ``(cell, pos, w double)`` side table and the DuckDB oracle
+    recomputes every assignment from the identical persisted doubles
+    with the same left-fold term order (bit-parity cosines → same
+    argmax, same rounding)."""
+    from solrizer_spark.operators.similarity import (
+        assign_ivf_cell_sim,
+        kmeans_fit,
+    )
+    from solrizer_spark.session import local_df
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=4, n_iter=3)
+    rows = [
+        (c, p, w) for c, vec in enumerate(cents) for p, w in enumerate(vec)
+    ]
+    local_df(spark, rows, "cell int, pos int, w double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(KMEANS_CENTROIDS_ORACLE_PATH)
+    return (
+        emb.withColumn("_a", assign_ivf_cell_sim(F.col("embedding"), cents))
+        .select(
+            "vec_id",
+            F.col("_a.cell").alias("cell"),
+            F.round(F.col("_a.sim"), 6).alias("cos_sim"),
+        )
+    )
+
+
 #: parquet side table q_bpe_tokens materializes for its oracle: the
 #: oracle re-derives every doc's token stream FROM THE LEARNED MERGES
 #: (recursive CTE), so tokenization is value-checked, not rows-only
@@ -1520,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "tfidf_keywords": q_tfidf_keywords,
         "keyword_search": q_keyword_search,
+        "kmeans_clusters": q_kmeans_clusters,
         "curate_chain": q_curate_chain,
         # bpe_tokens gained a value-level oracle in round 4 (merge
         # side table + recursive-CTE re-tokenization); it stays last
@@ -1622,6 +1666,32 @@ def _cos_sql(qvec: list[float]) -> str:
     )
     norm_q = " + ".join(f"(({qvec[d]!r}) * ({qvec[d]!r}))" for d in range(len(qvec)))
     return f"(({dot}) / (sqrt({norm_e}) * sqrt({norm_q})))"
+
+
+def _kmeans_oracle_sql(dims: int = 64, k: int = 4) -> str:
+    """Assignment oracle from the persisted centroid table: cosine to
+    every centroid with the exact left-fold term order of the Spark
+    expressions (see _cos_sql), zero-norm guarded like
+    similarity.cosine, argmax = max cosine then LOWEST cell (the
+    strictly-greater fold of assign_ivf_cell)."""
+    dot = " + ".join(
+        f"(CAST(embedding[{d+1}] AS DOUBLE) * c[{d+1}])" for d in range(dims)
+    )
+    norm_e = " + ".join(
+        f"(CAST(embedding[{d+1}] AS DOUBLE) * CAST(embedding[{d+1}] AS DOUBLE))"
+        for d in range(dims)
+    )
+    norm_c = " + ".join(f"(c[{d+1}] * c[{d+1}])" for d in range(dims))
+    denom = f"(sqrt({norm_e}) * sqrt({norm_c}))"
+    cs = f"CASE WHEN {denom} <> 0 THEN (({dot}) / {denom}) ELSE 0.0 END"
+    return (
+        "WITH cent AS (SELECT cell, list(w ORDER BY pos) AS c FROM "
+        f"read_parquet('{KMEANS_CENTROIDS_ORACLE_PATH}/*.parquet') GROUP BY cell), "
+        f"sims AS (SELECT vec_id, cell, {cs} AS cs FROM embeddings CROSS JOIN cent), "
+        "best AS (SELECT vec_id, cell, cs, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM sims) "
+        "SELECT vec_id, cell, round(cs, 6) AS cos_sim FROM best WHERE rn = 1"
+    )
 
 
 def _bucket_sql(n_bits: int, dims: int) -> str:
@@ -2216,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
             ") AS hashes FROM documents))"
         ),
         "ann_ivf": _ivf_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "
             "(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 100) < "

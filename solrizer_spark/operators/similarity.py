@@ -254,3 +254,89 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def assign_ivf_cell_sim(vec: Column, centroids: list[list[float]]) -> Column:
+    """``struct(cell, sim)`` variant of :func:`assign_ivf_cell` —
+    the same strictly-greater fold over ascending centroid index
+    (ties keep the LOWEST cell), but also carrying the winning
+    cosine, for queries that report the similarity to the assigned
+    centroid."""
+    best_idx = F.lit(0)
+    best_sim = None
+    for idx, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        sim = cosine(vec, lit_c)
+        if best_sim is None:
+            best_sim = sim
+        else:
+            better = sim > best_sim
+            best_idx = F.when(better, F.lit(idx)).otherwise(best_idx)
+            best_sim = F.when(better, sim).otherwise(best_sim)
+    return F.struct(best_idx.alias("cell"), best_sim.alias("sim"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's) — trains the IVF
+    centroids :func:`ivf_topk` / :func:`assign_ivf_cell` consume,
+    closing the "centroids come from somewhere" seam in-engine.
+
+    Scale shape: per round, assignment is the pure-codegen
+    :func:`assign_ivf_cell` expression; the update is
+    posexplode → groupBy(cell, pos) partial-aggregated sums, so the
+    shuffle carries at most ``partitions × k × dims`` rows and only
+    ``k × dims`` floats ever reach the driver — corpus size never
+    does. Init is deterministic: the ``k`` vectors with the smallest
+    ``xxhash64(id)`` (total order, tie-broken by id).
+
+    Iterative → not SQL-expressible; the oracle pattern is the same
+    as BPE (``__spark_entry__.q_kmeans_clusters``): centroids are
+    persisted as a side table and DuckDB re-derives the ASSIGNMENT
+    from the identical persisted doubles. Centroid values themselves
+    are deterministic up to float-sum partition order (documented;
+    the assignment check is exact given the persisted values).
+
+    Empty cells keep their previous centroid. Centroids are
+    L2-normalized each round (spherical k-means: the mean direction
+    is the cosine-optimal prototype)."""
+    import math
+
+    seeds = (
+        df.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_id"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(seeds)}")
+
+    def l2(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n else list(v)
+
+    cents = [l2([float(x) for x in r["_v"]]) for r in seeds]
+    for _ in range(n_iter):
+        assigned = df.select(
+            assign_ivf_cell(F.col(vec_col), cents).alias("_cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        stats = (
+            assigned.select("_cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("_cell", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        for r in stats:
+            sums.setdefault(r["_cell"], [0.0] * len(cents[0]))[r["pos"]] = r["s"]
+        cents = [
+            l2(sums[c]) if c in sums and any(sums[c]) else cents[c]
+            for c in range(k)
+        ]
+    return cents

@@ -460,3 +460,63 @@ def test_dedup_against_base_string_ids(spark):
     kept = {r["url"] for r in
             dedup_against_base(new, base, id_col="url").collect()}
     assert kept == {"https://b.org/z"}
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    """Three orthogonal direction-clusters with small jitter: Lloyd's
+    must assign each group to one cell, and the trained centroids
+    must point at the group directions (spherical k-means)."""
+    from solrizer_spark.operators.similarity import (
+        assign_ivf_cell,
+        kmeans_fit,
+    )
+
+    rows = []
+    for i in range(30):
+        base = [0.0, 0.0, 0.0]
+        base[i % 3] = 1.0
+        base[(i % 3 + 1) % 3] = 0.01 * (i % 5)  # jitter, keeps direction
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, n_iter=4)
+    assert len(cents) == 3 and all(len(c) == 3 for c in cents)
+    # each centroid is ~unit-norm and dominated by one axis
+    import math
+
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+        assert max(c) > 0.9
+    # assignment groups the three directions into three distinct cells
+    out = df.select(
+        "vec_id", assign_ivf_cell(F.col("embedding"), cents).alias("cell")
+    ).collect()
+    by_dir = {}
+    for r in out:
+        by_dir.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_dir.values())
+    assert len(set.union(*by_dir.values())) == 3
+
+
+def test_kmeans_fit_deterministic_init_and_empty_cells(spark):
+    """Same data → same centroids (hash-seeded init, fixed rounds);
+    a cell that captures nothing keeps its previous centroid instead
+    of collapsing to zeros."""
+    from solrizer_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(9, [0.9999, 0.0001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_fit(df, k=2, n_iter=3)
+    b = kmeans_fit(df.repartition(7), k=2, n_iter=3)
+    assert len(a) == len(b) == 2
+    # identical input → identical result regardless of partitioning of
+    # the INIT scan (total-order seed); centroid values agree to float
+    # noise (sum order may differ across partitionings)
+    for ca, cb in zip(a, b):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
+    # all points sit in one direction: one cell ends empty and must
+    # retain a usable (finite, non-zero) centroid
+    import math
+
+    for c in a:
+        assert all(math.isfinite(x) for x in c)
+        assert math.sqrt(sum(x * x for x in c)) > 0.5
