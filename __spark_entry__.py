@@ -1668,7 +1668,7 @@ def _cos_sql(qvec: list[float]) -> str:
     return f"(({dot}) / (sqrt({norm_e}) * sqrt({norm_q})))"
 
 
-def _kmeans_oracle_sql(dims: int = 64, k: int = 4) -> str:
+def _kmeans_oracle_sql(dims: int = 64) -> str:
     """Assignment oracle from the persisted centroid table: cosine to
     every centroid with the exact left-fold term order of the Spark
     expressions (see _cos_sql), zero-norm guarded like

@@ -135,20 +135,14 @@ def lsh_topk(
 def assign_ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """IVF coarse quantizer: index of the nearest centroid (highest
     cosine; ties → lowest index). Centroids are plan-time literals
-    (at production scale: a driver-side sample/k-means result,
-    broadcast into the plan), so assignment is pure codegen."""
-    best_idx = F.lit(0)
-    best_sim = None
-    for idx, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        sim = cosine(vec, lit_c)
-        if best_sim is None:
-            best_sim = sim
-        else:
-            better = sim > best_sim
-            best_idx = F.when(better, F.lit(idx)).otherwise(best_idx)
-            best_sim = F.when(better, sim).otherwise(best_sim)
-    return best_idx
+    (at production scale: an in-engine :func:`kmeans_fit` result,
+    broadcast into the plan), so assignment is pure codegen.
+
+    Thin wrapper over :func:`assign_ivf_cell_sim` — ONE copy of the
+    tie-break-sensitive strictly-greater fold (the kmeans oracle's
+    ``ORDER BY cs DESC, cell ASC`` parity depends on it); Catalyst's
+    SimplifyExtractValueOps prunes the unused ``sim`` field."""
+    return assign_ivf_cell_sim(vec, centroids)["cell"]
 
 
 def ivf_topk(

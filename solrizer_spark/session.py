@@ -59,6 +59,13 @@ def get_spark(
     return builder.getOrCreate()
 
 
+try:  # Arrow conversion failures surface as this on the pandas path
+    from pyarrow.lib import ArrowInvalid as pyarrow_lib_ArrowInvalid
+except Exception:  # pragma: no cover - pyarrow is baked into this env
+    class pyarrow_lib_ArrowInvalid(Exception):
+        pass
+
+
 def local_df(spark: SparkSession, rows, schema: str):
     """Driver-local rows → DataFrame via the pandas/Arrow path: a
     single JVM LocalRelation, zero Python-worker partitions.
@@ -77,9 +84,23 @@ def local_df(spark: SparkSession, rows, schema: str):
     """
     import pandas as pd
 
-    cols = [f.split(None, 1)[0] for f in schema.split(",")]
+    # split on TOP-LEVEL commas only: decimal(10,2) / map<k,v> /
+    # struct<a:int,b:int> carry commas inside (),<> nesting
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema[start:i])
+            start = i + 1
+    fields.append(schema[start:])
+    cols = [f.split(None, 1)[0] for f in fields]
     try:
         pdf = pd.DataFrame([tuple(r) for r in rows], columns=cols)
         return spark.createDataFrame(pdf, schema=schema)
-    except Exception:
+    except (ValueError, TypeError, pyarrow_lib_ArrowInvalid):
+        # rows pandas/Arrow can't shape — fall back to the plain path
+        # (correct, just slower); schema/analysis errors still raise
         return spark.createDataFrame(list(rows), schema)

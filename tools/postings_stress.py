@@ -119,11 +119,15 @@ def main() -> None:
     ).persist()
     n_direct = measure("postings_direct", direct.count)
 
-    # stopword behavior: df uncapped, posting list capped
+    # stopword behavior: df uncapped, posting list capped (own
+    # measure() so its shuffle isn't attributed to the next stage)
     stop = salted.where(F.col("term") == "zzcommonzz")
-    stop_row = stop.agg(
-        F.max("df").alias("df"), F.count(F.lit(1)).alias("postings")
-    ).collect()[0]
+    stop_row = measure(
+        "stopword_probe",
+        lambda: stop.agg(
+            F.max("df").alias("df"), F.count(F.lit(1)).alias("postings")
+        ).collect()[0],
+    )
     assert stop_row["df"] == n_docs, (stop_row, n_docs)
     assert stop_row["postings"] == MAX_POST, stop_row
 
