@@ -251,23 +251,29 @@ def embedding_near_dup_pairs(
 
 
 def assign_ivf_cell_sim(vec: Column, centroids: list[list[float]]) -> Column:
-    """``struct(cell, sim)`` variant of :func:`assign_ivf_cell` —
-    the same strictly-greater fold over ascending centroid index
-    (ties keep the LOWEST cell), but also carrying the winning
-    cosine, for queries that report the similarity to the assigned
-    centroid."""
-    best_idx = F.lit(0)
-    best_sim = None
-    for idx, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        sim = cosine(vec, lit_c)
-        if best_sim is None:
-            best_sim = sim
-        else:
-            better = sim > best_sim
-            best_idx = F.when(better, F.lit(idx)).otherwise(best_idx)
-            best_sim = F.when(better, sim).otherwise(best_sim)
-    return F.struct(best_idx.alias("cell"), best_sim.alias("sim"))
+    """``struct(cell, sim)``: nearest centroid (highest cosine, ties
+    → LOWEST cell) plus the winning cosine.
+
+    Implemented as array-argmax — ``array_position(sims,
+    array_max(sims))`` finds the FIRST maximal element, i.e. the
+    lowest index on exact ties, matching the previous
+    strictly-greater when-chain fold. The when-chain form referenced
+    ``best_sim`` twice per step, DOUBLING the expression tree per
+    centroid: O(2^k) nodes — fine at k=4, a planner/codegen
+    OutOfMemoryError by k=16 (hit training 16 IVF cells over 20k
+    vectors). The array form is O(k·dims) and keeps bit-identical
+    cosines (same left-fold ``cosine`` subexpressions), so the
+    DuckDB oracle's ``ORDER BY cs DESC, cell ASC`` parity is
+    unchanged."""
+    sims = F.array(
+        *[
+            cosine(vec, F.array(*[F.lit(float(v)) for v in c]))
+            for c in centroids
+        ]
+    )
+    best = F.array_max(sims)
+    cell = (F.array_position(sims, best) - 1).cast("int")
+    return F.struct(cell.alias("cell"), best.alias("sim"))
 
 
 def kmeans_fit(

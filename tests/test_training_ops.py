@@ -520,3 +520,30 @@ def test_kmeans_fit_deterministic_init_and_empty_cells(spark):
     for c in a:
         assert all(math.isfinite(x) for x in c)
         assert math.sqrt(sum(x * x for x in c)) > 0.5
+
+
+def test_assign_ivf_cell_scales_past_k16(spark):
+    """The original when-chain argmax referenced best_sim twice per
+    step — an O(2^k) expression tree that OOM'd the planner at k=16.
+    The array-argmax form is linear in k: k=24 must plan and run."""
+    from solrizer_spark.operators.similarity import assign_ivf_cell_sim
+
+    import math
+
+    cents = []
+    for j in range(24):
+        v = [math.sin(j * 17 + d) for d in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        cents.append([x / n for x in v])
+    df = spark.createDataFrame(
+        [(i, cents[i % 24]) for i in range(48)],
+        "vec_id long, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id", F.col("embedding"),
+        assign_ivf_cell_sim(F.col("embedding"), cents).alias("a"),
+    ).select("vec_id", F.col("a.cell").alias("cell"), F.col("a.sim").alias("sim")).collect()
+    # every vector IS one of the centroids → assigned to itself, sim ~1
+    for r in out:
+        assert r["cell"] == r["vec_id"] % 24
+        assert abs(r["sim"] - 1.0) < 1e-9
