@@ -98,15 +98,18 @@ def langid(text: Column | str) -> Column:
         (code, F.size(F.filter(toks, in_profile(ws))).cast("double") / n)
         for code, ws in sorted(STOPWORD_PROFILES.items())
     ]
-    best_score = None
-    best_lang = None
-    for code, score in scores:
-        if best_score is None:
-            best_score, best_lang = score, F.lit(code)
-        else:
-            is_better = score > best_score
-            best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
-            best_score = F.when(is_better, score).otherwise(best_score)
+    # array-argmax, not a when-chain fold: the fold form references
+    # the running best twice per step — an O(2^n_profiles) expression
+    # tree (see similarity.assign_ivf_cell_sim, where the same shape
+    # OOM'd the planner at 16 branches). array_position picks the
+    # FIRST maximal score = lowest sorted code on ties, identical to
+    # the strictly-greater fold it replaces.
+    sarr = F.array(*[score for _, score in scores])
+    best_score = F.array_max(sarr)
+    best_lang = F.element_at(
+        F.array(*[F.lit(code) for code, _ in scores]),
+        F.array_position(sarr, best_score).cast("int"),
+    )
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
