@@ -322,10 +322,20 @@ def kmeans_fit(
 
     cents = [l2([float(x) for x in r["_v"]]) for r in seeds]
     for _ in range(n_iter):
-        assigned = df.select(
-            assign_ivf_cell(F.col(vec_col), cents).alias("_cell"),
-            F.col(vec_col).alias("_v"),
-        )
+        if k <= 64:
+            # literal-expression assignment: O(k·dims) plan nodes,
+            # zero extra shuffle
+            assigned = df.select(
+                assign_ivf_cell(F.col(vec_col), cents).alias("_cell"),
+                F.col(vec_col).alias("_v"),
+            )
+        else:
+            # large-k path: broadcast-join argmax (a 10^5-cell plan
+            # cannot carry 10^7 literals); keep_vec avoids a second
+            # join for the update below
+            assigned = assign_cells_join(
+                df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
+            ).select(F.col("cell").alias("_cell"), F.col(vec_col).alias("_v"))
         stats = (
             assigned.select("_cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("_cell", "pos")
@@ -340,3 +350,51 @@ def kmeans_fit(
             for c in range(k)
         ]
     return cents
+
+
+def assign_cells_join(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Join-based IVF assignment — the large-``k`` path.
+
+    :func:`assign_ivf_cell_sim` bakes centroids into the plan as
+    literals: O(k·dims) expression nodes, ideal up to a few hundred
+    cells but not at production IVF scale (k ≈ √N → 10^5-10^6 cells
+    at 10^12 vectors, where a 10^7-literal plan is impossible). This
+    form broadcasts the ``(cell, centroid)`` table, computes one
+    cosine per (vector, cell) pair, and argmaxes per vector with a
+    single struct MAX aggregate — ``max(struct(sim, -cell, ...))``
+    orders by sim then LOWEST cell, the exact tie-break of the
+    literal path (pinned by an equivalence test). Map-side partial
+    aggregation keeps the shuffle at one row per (vector, partition),
+    and no window/sort is involved.
+
+    Returns ``(id, cell, sim)`` — plus the vector when ``keep_vec``
+    (the k-means update needs it without a second join)."""
+    from solrizer_spark.session import local_df
+
+    spark = df.sparkSession
+    rows = [(c, [float(x) for x in v]) for c, v in enumerate(centroids)]
+    cdf = local_df(spark, rows, "___cell int, ___c array<double>")
+    sims = df.join(F.broadcast(cdf)).select(
+        F.col(id_col),
+        *( [F.col(vec_col)] if keep_vec else [] ),
+        F.struct(
+            cosine(F.col(vec_col), F.col("___c")).alias("sim"),
+            (-F.col("___cell")).alias("negc"),
+            *( [F.col(vec_col).alias("v")] if keep_vec else [] ),
+        ).alias("_b"),
+    )
+    best = sims.groupBy(id_col).agg(F.max("_b").alias("_b"))
+    out_cols = [
+        F.col(id_col),
+        (-F.col("_b.negc")).cast("int").alias("cell"),
+        F.col("_b.sim").alias("sim"),
+    ]
+    if keep_vec:
+        out_cols.append(F.col("_b.v").alias(vec_col))
+    return best.select(*out_cols)

@@ -547,3 +547,35 @@ def test_assign_ivf_cell_scales_past_k16(spark):
     for r in out:
         assert r["cell"] == r["vec_id"] % 24
         assert abs(r["sim"] - 1.0) < 1e-9
+
+
+def test_assign_cells_join_equals_literal_path(spark):
+    """The broadcast-join argmax (large-k path) must reproduce the
+    literal-expression assignment exactly — same winner, same
+    lowest-cell tie-break, same cosine."""
+    import math
+
+    from solrizer_spark.operators.similarity import (
+        assign_cells_join,
+        assign_ivf_cell_sim,
+    )
+
+    cents = []
+    for j in range(40):
+        v = [math.cos(j * 13 + d * 7) for d in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        cents.append([x / n for x in v])
+    # duplicate centroid 39 == centroid 7 → exact tie, lowest cell wins
+    cents[39] = list(cents[7])
+    rows = [(i, [math.sin(i + d) for d in range(8)]) for i in range(60)]
+    rows.append((1000, list(cents[7])))  # lands exactly on the tie pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lit = df.select(
+        "vec_id", assign_ivf_cell_sim(F.col("embedding"), cents).alias("a")
+    ).select("vec_id", F.col("a.cell").alias("cell"), F.col("a.sim").alias("sim"))
+    join = assign_cells_join(df, cents)
+    got_l = {r["vec_id"]: (r["cell"], r["sim"]) for r in lit.collect()}
+    got_j = {r["vec_id"]: (r["cell"], r["sim"]) for r in join.collect()}
+    assert got_l == got_j
+    assert got_j[1000][0] == 7  # tie resolved to the LOWEST cell
