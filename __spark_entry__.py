@@ -1010,10 +1010,20 @@ def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_words(docs, "text", k=200)
 
 
+#: run-private root for oracle side tables: keyed by pid (overridable
+#: via env) so two concurrent harness/bench runs cannot clobber or
+#: cross-read each other's centroid/merge tables. queries() and
+#: oracle_sql() are called in the same process, so both see one path.
+import os as _os
+
+_ORACLE_RUN_DIR = _os.environ.get(
+    "SOLRIZER_ORACLE_RUN_DIR", f"/tmp/solrizer_oracle_{_os.getpid()}"
+)
+
 #: parquet side table q_kmeans_clusters materializes for its oracle:
 #: the trained centroids, from which DuckDB re-derives every vector's
 #: assignment (training is iterative; assignment is deterministic)
-KMEANS_CENTROIDS_ORACLE_PATH = "/tmp/solrizer_kmeans_centroids_oracle"
+KMEANS_CENTROIDS_ORACLE_PATH = f"{_ORACLE_RUN_DIR}/kmeans_centroids"
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,7 +1066,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: parquet side table q_bpe_tokens materializes for its oracle: the
 #: oracle re-derives every doc's token stream FROM THE LEARNED MERGES
 #: (recursive CTE), so tokenization is value-checked, not rows-only
-BPE_MERGES_ORACLE_PATH = "/tmp/solrizer_bpe_merges_oracle"
+BPE_MERGES_ORACLE_PATH = f"{_ORACLE_RUN_DIR}/bpe_merges"
 
 
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,6 +1507,258 @@ def q_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", "text")
 
 
+# --------------------------------------------------------------------------
+# composite queries (round 5): the driver records at most the first 50
+# ``queries()`` entries, so operator families are consolidated into
+# wide joins (same key, same row count) or tagged unions (sentinel
+# -1 / '' for fields a branch lacks — sentinels, not NULLs, so both
+# engines keep non-nullable int64/str dtypes through the driver's
+# pandas canonicalizer). Every component query function above is kept:
+# tests, plan audits, and bench time the components; the registry
+# exposes the composites so EVERY operator family has a driver
+# CORRECTNESS row.
+# --------------------------------------------------------------------------
+
+_L = F.lit
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of text_stats + quality_score + langid + token_counts
+    + fingerprint + winnow_fingerprints: one zero-shuffle projection
+    over ``documents`` (all six are per-doc Column expressions)."""
+    from solrizer_spark.functions.text_stats import (
+        bpe_token_count,
+        langid,
+        quality_score,
+        rolling_fingerprint,
+        subword_count_estimate,
+        winnow_fingerprints,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    fps = winnow_fingerprints("text", k=8, window=4)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n, 4
+        ).alias("avg_token_len"),
+        F.round(stop.cast("double") / n, 4).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+        subword_count_estimate("text").alias("subword_tokens"),
+        langid("text").alias("lang_pred"),
+        bpe_token_count("text").alias("bpe_tokens"),
+        rolling_fingerprint("text").alias("fingerprint"),
+        F.size(fps).alias("n_fps"),
+        F.element_at(fps, 1).alias("fp_min"),
+        F.element_at(fps, -1).alias("fp_max"),
+    )
+
+
+def q_scrub_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of pii_scrub + text_normalize (join on doc_id)."""
+    a = q_pii_scrub(spark, sf_dir)
+    b = q_text_normalize(spark, sf_dir)
+    return a.join(b, "doc_id")
+
+
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of lm_score + lm_backoff (join on doc_id; the
+    backoff columns carry a ``_bo`` suffix)."""
+    a = q_lm_score(spark, sf_dir)
+    b = q_lm_backoff(spark, sf_dir).select(
+        "doc_id",
+        F.col("oov_rate").alias("oov_rate_bo"),
+        F.col("mean_p").alias("mean_p_bo"),
+    )
+    return a.join(b, "doc_id")
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of fetch_schedule (exact + hash modes) +
+    crawl_delay_schedule (join on url)."""
+    a = q_fetch_schedule(spark, sf_dir)
+    b = q_crawl_delay_schedule(spark, sf_dir).select(
+        "url", F.col("slot").alias("slot_delay")
+    )
+    return a.join(b, "url")
+
+
+def q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of inverted_postings (salted two-phase cap) +
+    tfidf_keywords + keyword_search over one relation."""
+    p = q_inverted_postings(spark, sf_dir)
+    t = q_tfidf_keywords(spark, sf_dir)
+    s = q_keyword_search(spark, sf_dir)
+    u1 = p.select(
+        _L("postings").alias("stage"), "term", "doc_id",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("posting_rank").cast("long").alias("rnk"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        _L(-1).cast("long").alias("score"),
+    )
+    u2 = t.select(
+        _L("tfidf").alias("stage"), "term", "doc_id",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("keyword_rank").cast("long").alias("rnk"),
+        _L(-1).cast("long").alias("first_pos"),
+        F.col("score").cast("long").alias("score"),
+    )
+    u3 = s.select(
+        _L("search").alias("stage"), _L("").alias("term"), "doc_id",
+        F.col("n_matched").cast("long").alias("tf"),
+        _L(-1).cast("long").alias("df"),
+        _L(-1).cast("long").alias("rnk"),
+        _L(-1).cast("long").alias("first_pos"),
+        F.col("score").cast("long").alias("score"),
+    )
+    return u1.unionByName(u2).unionByName(u3)
+
+
+def q_sampling_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of stratified_sample + quality_topk +
+    repetition_stats."""
+    a = q_stratified_sample(spark, sf_dir).select(
+        _L("sample").alias("stage"), "doc_id", "lang",
+        _L(-1.0).alias("q1"), _L(-1.0).alias("q2"),
+        _L(-1).cast("long").alias("rnk"),
+    )
+    b = q_quality_topk(spark, sf_dir).select(
+        _L("topk").alias("stage"), "doc_id", "lang",
+        F.col("quality").alias("q1"), _L(-1.0).alias("q2"),
+        F.col("group_rank").cast("long").alias("rnk"),
+    )
+    c = q_repetition_stats(spark, sf_dir).select(
+        _L("repetition").alias("stage"), "doc_id", _L("").alias("lang"),
+        F.col("dup_line_frac").alias("q1"),
+        F.col("top_bigram_frac").alias("q2"),
+        _L(-1).cast("long").alias("rnk"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of domain_stats (by eTLD+1) + corpus_stats
+    (by language)."""
+    a = q_domain_stats(spark, sf_dir).select(
+        _L("domain").alias("stage"), F.col("domain").alias("grp"),
+        "n_docs", "total_tokens",
+        F.col("mean_chars").alias("v1"), _L(-1.0).alias("v2"),
+    )
+    b = q_corpus_stats(spark, sf_dir).select(
+        _L("language").alias("stage"), F.col("lang").alias("grp"),
+        "n_docs", "total_tokens",
+        F.col("avg_quality").alias("v1"),
+        F.col("median_chars").cast("double").alias("v2"),
+    )
+    return a.unionByName(b)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the three ANN strategies (brute force /
+    hyperplane LSH / IVF) for the same query vector."""
+    a = q_ann_bruteforce(spark, sf_dir).select(
+        _L("brute").alias("stage"), "vec_id", "cos_sim"
+    )
+    b = q_ann_lsh(spark, sf_dir).select(
+        _L("lsh").alias("stage"), "vec_id", "cos_sim"
+    )
+    c = q_ann_ivf(spark, sf_dir).select(
+        _L("ivf").alias("stage"), "vec_id", "cos_sim"
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of url_normalize + blocklist_filter."""
+    a = q_url_normalize(spark, sf_dir).select(
+        _L("normalize").alias("stage"), "doc_id", "host", "domain",
+        F.col("path_depth").cast("long").alias("path_depth"), "normalized",
+    )
+    b = q_blocklist_filter(spark, sf_dir).select(
+        _L("blocklist").alias("stage"), "doc_id",
+        _L("").alias("host"), _L("").alias("domain"),
+        _L(-1).cast("long").alias("path_depth"),
+        F.col("url").alias("normalized"),
+    )
+    return a.unionByName(b)
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of outlinks + anchors."""
+    a = q_outlinks(spark, sf_dir).select(
+        _L("outlinks").alias("stage"), "doc_id",
+        _L(-1).cast("long").alias("pos"),
+        F.col("links").alias("s1"), F.col("domains").alias("s2"),
+        F.col("n_links").cast("long").alias("n"),
+    )
+    b = q_anchors(spark, sf_dir).select(
+        _L("anchors").alias("stage"), "doc_id", "pos",
+        F.col("href").alias("s1"), F.col("anchor").alias("s2"),
+        _L(-1).cast("long").alias("n"),
+    )
+    return a.unionByName(b)
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of multimodal_meta (packed into one string) +
+    media_features + frame_sample."""
+    m = q_multimodal_meta(spark, sf_dir).select(
+        _L("meta").alias("stage"), "asset_id",
+        _L(-1).cast("long").alias("idx"), _L(-1.0).alias("num"),
+        F.concat_ws(
+            "|", F.col("kind"), F.col("width").cast("string"),
+            F.col("height").cast("string"), F.col("channels").cast("string"),
+            F.col("n_bytes").cast("string"), F.col("valid").cast("string"),
+        ).alias("sval"),
+    )
+    f = q_media_features(spark, sf_dir).select(
+        _L("feature").alias("stage"), "asset_id",
+        F.col("dim_idx").cast("long").alias("idx"),
+        F.col("value").alias("num"), _L("").alias("sval"),
+    )
+    fr = q_frame_sample(spark, sf_dir).select(
+        _L("frame").alias("stage"), "asset_id",
+        F.col("frame_index").cast("long").alias("idx"),
+        _L(-1.0).alias("num"), F.col("frame_fingerprint").alias("sval"),
+    )
+    return m.unionByName(f).unionByName(fr)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of dedup_simhash (signatures) +
+    dedup_simhash_pairs (hamming-≤3 pairs)."""
+    a = q_dedup_simhash(spark, sf_dir).select(
+        _L("sig").alias("stage"), F.col("doc_id").alias("id_a"),
+        _L(-1).cast("long").alias("id_b"),
+        F.col("simhash32").cast("long").alias("val"),
+    )
+    b = q_dedup_simhash_pairs(spark, sf_dir).select(
+        _L("pairs").alias("stage"), "id_a", "id_b",
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return a.unionByName(b)
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of dedup_minhash_lsh (banded LSH pairs) +
+    dedup_ngram_jaccard (exact per-copy Jaccard)."""
+    a = q_dedup_minhash_lsh(spark, sf_dir).select(
+        _L("lsh").alias("stage"), "id_a", "id_b", "jaccard_sim"
+    )
+    b = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        _L("ngram").alias("stage"), F.col("doc_id").alias("id_a"),
+        _L(-1).cast("long").alias("id_b"), "jaccard_sim",
+    )
+    return a.unionByName(b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -1510,31 +1772,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "line_dedup": q_line_dedup,
         "temperature_mix": q_temperature_mix,
-        "outlinks": q_outlinks,
+        "link_extract": q_link_extract,
         "model_score": q_model_score,
-        "media_features": q_media_features,
-        "domain_stats": q_domain_stats,
+        "corpus_report": q_corpus_report,
         "robots_filter": q_robots_filter,
         "solr_timestamp": q_solr_timestamp,
         "page_sequence": q_page_sequence,
         "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_metrics": q_text_metrics,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
-        "text_normalize": q_text_normalize,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
+        "scrub_normalize": q_scrub_normalize,
+        "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "langid": q_langid,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
+        "multimodal": q_multimodal,
         "handles": q_handles,
         "curie": q_curie,
         "display_values": q_display_values,
@@ -1542,33 +1795,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iiif_links": q_iiif_links,
         "atomic_diff": q_atomic_diff,
         "edtf_dates": q_edtf_dates,
-        "url_normalize": q_url_normalize,
-        "blocklist_filter": q_blocklist_filter,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "ann_ivf": q_ann_ivf,
-        "token_counts": q_token_counts,
+        "url_filter": q_url_filter,
         "bpe_word_counts": q_bpe_word_counts,
         "pagerank": q_pagerank,
-        "fetch_schedule": q_fetch_schedule,
-        "lm_score": q_lm_score,
-        "anchors": q_anchors,
-        "crawl_delay_schedule": q_crawl_delay_schedule,
-        "lm_backoff": q_lm_backoff,
+        "crawl_schedule": q_crawl_schedule,
+        "lm_scores": q_lm_scores,
         "dedup_incremental": q_dedup_incremental,
-        "stratified_sample": q_stratified_sample,
-        "corpus_stats": q_corpus_stats,
-        "quality_topk": q_quality_topk,
-        "repetition_stats": q_repetition_stats,
+        "sampling_quality": q_sampling_quality,
         "pack_sequences": q_pack_sequences,
-        "inverted_postings": q_inverted_postings,
-        "tfidf_keywords": q_tfidf_keywords,
-        "keyword_search": q_keyword_search,
+        "index_build": q_index_build,
         "kmeans_clusters": q_kmeans_clusters,
         "curate_chain": q_curate_chain,
-        # bpe_tokens gained a value-level oracle in round 4 (merge
-        # side table + recursive-CTE re-tokenization); it stays last
-        # per the standing rule that any future rows-only / exotic
-        # query must go at the END of this dict, so a harness
+        # bpe_tokens stays last per the standing rule that the most
+        # exotic query goes at the END of this dict, so a harness
         # canonicalizer incompatibility can never shadow
         # oracle-checked queries that follow it in dict order
         "bpe_tokens": q_bpe_tokens,
@@ -1833,6 +2072,11 @@ def _langid_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    base = _component_oracle_sql()
+    return _compose_oracles(base)
+
+
+def _component_oracle_sql() -> dict[str, str]:
     return {
         "extract_strip": (
             "SELECT doc_id, 'Doc ' || doc_id || text AS extracted_text FROM documents"
@@ -2629,6 +2873,160 @@ def oracle_sql() -> dict[str, str]:
             "::UBIGINT % 1000000 < cut"
         ),
     }
+
+
+def _compose_oracles(base: dict[str, str]) -> dict[str, str]:
+    """Build the composite-query oracles by wrapping the component
+    SQL (each a complete SELECT, possibly with its own WITH — DuckDB
+    supports nested CTEs in subqueries) and joining/union-tagging
+    exactly as the Spark composites do. Sentinels (-1 / '') mirror
+    the Spark side so no column is nullable-numeric in pandas."""
+    out = dict(base)
+
+    ts = out.pop("text_stats")
+    qs2 = out.pop("quality_score")
+    li = out.pop("langid")
+    tc = out.pop("token_counts")
+    fp = out.pop("fingerprint")
+    wf = out.pop("winnow_fingerprints")
+    out["text_metrics"] = (
+        f"WITH cts AS ({ts}), cqs AS ({qs2}), cli AS ({li}), "
+        f"ctc AS ({tc}), cfp AS ({fp}), cwf AS ({wf}) "
+        "SELECT cts.doc_id, cts.n_tokens, cts.n_chars, cts.avg_token_len, "
+        "cts.stopword_ratio, cqs.quality, cqs.subword_tokens, cli.lang_pred, "
+        "ctc.bpe_tokens, cfp.fingerprint, cwf.n_fps, cwf.fp_min, cwf.fp_max "
+        "FROM cts JOIN cqs USING (doc_id) JOIN cli USING (doc_id) "
+        "JOIN ctc USING (doc_id) JOIN cfp USING (doc_id) JOIN cwf USING (doc_id)"
+    )
+
+    pii = out.pop("pii_scrub")
+    norm = out.pop("text_normalize")
+    out["scrub_normalize"] = (
+        f"WITH cpi AS ({pii}), cno AS ({norm}) "
+        "SELECT cpi.doc_id, cpi.scrubbed, cpi.n_emails, cpi.n_ips, "
+        "cpi.n_phones, cno.normalized FROM cpi JOIN cno USING (doc_id)"
+    )
+
+    lma = out.pop("lm_score")
+    lmb = out.pop("lm_backoff")
+    out["lm_scores"] = (
+        f"WITH clm AS ({lma}), cbo AS ({lmb}) "
+        "SELECT clm.doc_id, clm.n_bigrams, clm.oov_rate, clm.mean_p, "
+        "cbo.oov_rate AS oov_rate_bo, cbo.mean_p AS mean_p_bo "
+        "FROM clm JOIN cbo USING (doc_id)"
+    )
+
+    fs = out.pop("fetch_schedule")
+    cd = out.pop("crawl_delay_schedule")
+    out["crawl_schedule"] = (
+        f"WITH cfs AS ({fs}), ccd AS ({cd}) "
+        "SELECT cfs.url, cfs.host, cfs.slot_exact, cfs.slot_hash, "
+        "ccd.slot AS slot_delay FROM cfs JOIN ccd ON cfs.url = ccd.url"
+    )
+
+    ip = out.pop("inverted_postings")
+    tk = out.pop("tfidf_keywords")
+    ks = out.pop("keyword_search")
+    out["index_build"] = (
+        f"WITH cip AS ({ip}), ctk AS ({tk}), cks AS ({ks}) "
+        "SELECT 'postings' AS stage, term, doc_id, CAST(tf AS BIGINT) AS tf, "
+        "CAST(df AS BIGINT) AS df, CAST(posting_rank AS BIGINT) AS rnk, "
+        "CAST(first_pos AS BIGINT) AS first_pos, CAST(-1 AS BIGINT) AS score FROM cip "
+        "UNION ALL SELECT 'tfidf', term, doc_id, CAST(tf AS BIGINT), "
+        "CAST(df AS BIGINT), CAST(keyword_rank AS BIGINT), CAST(-1 AS BIGINT), "
+        "CAST(score AS BIGINT) FROM ctk "
+        "UNION ALL SELECT 'search', '', doc_id, CAST(n_matched AS BIGINT), "
+        "CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), "
+        "CAST(score AS BIGINT) FROM cks"
+    )
+
+    ss = out.pop("stratified_sample")
+    qt = out.pop("quality_topk")
+    rs = out.pop("repetition_stats")
+    out["sampling_quality"] = (
+        f"WITH css AS ({ss}), cqt AS ({qt}), crs AS ({rs}) "
+        "SELECT 'sample' AS stage, doc_id, lang, CAST(-1.0 AS DOUBLE) AS q1, "
+        "CAST(-1.0 AS DOUBLE) AS q2, CAST(-1 AS BIGINT) AS rnk FROM css "
+        "UNION ALL SELECT 'topk', doc_id, lang, CAST(quality AS DOUBLE), "
+        "CAST(-1.0 AS DOUBLE), CAST(group_rank AS BIGINT) FROM cqt "
+        "UNION ALL SELECT 'repetition', doc_id, '', CAST(dup_line_frac AS DOUBLE), "
+        "CAST(top_bigram_frac AS DOUBLE), CAST(-1 AS BIGINT) FROM crs"
+    )
+
+    ds = out.pop("domain_stats")
+    cs = out.pop("corpus_stats")
+    out["corpus_report"] = (
+        f"WITH cds AS ({ds}), ccs AS ({cs}) "
+        "SELECT 'domain' AS stage, domain AS grp, n_docs, total_tokens, "
+        "CAST(mean_chars AS DOUBLE) AS v1, CAST(-1.0 AS DOUBLE) AS v2 FROM cds "
+        "UNION ALL SELECT 'language', lang, n_docs, total_tokens, "
+        "CAST(avg_quality AS DOUBLE), CAST(median_chars AS DOUBLE) FROM ccs"
+    )
+
+    ab = out.pop("ann_bruteforce")
+    al = out.pop("ann_lsh")
+    ai = out.pop("ann_ivf")
+    out["ann_topk"] = (
+        f"WITH cab AS ({ab}), cal AS ({al}), cai AS ({ai}) "
+        "SELECT 'brute' AS stage, vec_id, cos_sim FROM cab "
+        "UNION ALL SELECT 'lsh', vec_id, cos_sim FROM cal "
+        "UNION ALL SELECT 'ivf', vec_id, cos_sim FROM cai"
+    )
+
+    un = out.pop("url_normalize")
+    bl = out.pop("blocklist_filter")
+    out["url_filter"] = (
+        f"WITH cun AS ({un}), cbl AS ({bl}) "
+        "SELECT 'normalize' AS stage, doc_id, host, domain, "
+        "CAST(path_depth AS BIGINT) AS path_depth, normalized FROM cun "
+        "UNION ALL SELECT 'blocklist', doc_id, '', '', "
+        "CAST(-1 AS BIGINT), url FROM cbl"
+    )
+
+    ol = out.pop("outlinks")
+    an = out.pop("anchors")
+    out["link_extract"] = (
+        f"WITH col_ AS ({ol}), can_ AS ({an}) "
+        "SELECT 'outlinks' AS stage, doc_id, CAST(-1 AS BIGINT) AS pos, "
+        "links AS s1, domains AS s2, CAST(n_links AS BIGINT) AS n FROM col_ "
+        "UNION ALL SELECT 'anchors', doc_id, CAST(pos AS BIGINT), "
+        "href, anchor, CAST(-1 AS BIGINT) FROM can_"
+    )
+
+    mm = out.pop("multimodal_meta")
+    mf = out.pop("media_features")
+    fsamp = out.pop("frame_sample")
+    out["multimodal"] = (
+        f"WITH cmm AS ({mm}), cmf AS ({mf}), cfr AS ({fsamp}) "
+        "SELECT 'meta' AS stage, asset_id, CAST(-1 AS BIGINT) AS idx, "
+        "CAST(-1.0 AS DOUBLE) AS num, kind || '|' || CAST(width AS VARCHAR) "
+        "|| '|' || CAST(height AS VARCHAR) || '|' || CAST(channels AS VARCHAR) "
+        "|| '|' || CAST(n_bytes AS VARCHAR) || '|' || CAST(valid AS VARCHAR) "
+        "AS sval FROM cmm "
+        "UNION ALL SELECT 'feature', asset_id, CAST(dim_idx AS BIGINT), "
+        "CAST(value AS DOUBLE), '' FROM cmf "
+        "UNION ALL SELECT 'frame', asset_id, CAST(frame_index AS BIGINT), "
+        "CAST(-1.0 AS DOUBLE), frame_fingerprint FROM cfr"
+    )
+
+    sh = out.pop("dedup_simhash")
+    shp = out.pop("dedup_simhash_pairs")
+    out["simhash"] = (
+        f"WITH csh AS ({sh}), cpr AS ({shp}) "
+        "SELECT 'sig' AS stage, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b, "
+        "CAST(simhash32 AS BIGINT) AS val FROM csh "
+        "UNION ALL SELECT 'pairs', id_a, id_b, CAST(hamming AS BIGINT) FROM cpr"
+    )
+
+    ml = out.pop("dedup_minhash_lsh")
+    ng = out.pop("dedup_ngram_jaccard")
+    out["near_dup_pairs"] = (
+        f"WITH cml AS ({ml}), cng AS ({ng}) "
+        "SELECT 'lsh' AS stage, id_a, id_b, jaccard_sim FROM cml "
+        "UNION ALL SELECT 'ngram', doc_id, CAST(-1 AS BIGINT), jaccard_sim FROM cng"
+    )
+
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -130,7 +130,20 @@ def main() -> None:
     shutil.rmtree(big_dir, ignore_errors=True)
 
     # -- operator queries at sf scale -----------------------------------
-    qs = em.queries()
+    # Round 5 consolidated the queries() registry into composite
+    # entries (driver 50-row window); the bench keeps timing the
+    # FINE-GRAINED component queries so per-operator timings stay
+    # comparable round-over-round. Components no longer in the
+    # registry are resolved from their q_* functions directly.
+    qs = dict(em.queries())
+    for comp in (
+        "text_stats", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_simhash_pairs", "ann_bruteforce", "outlinks",
+        "media_features", "domain_stats", "fetch_schedule", "lm_score",
+        "lm_backoff", "crawl_delay_schedule", "inverted_postings",
+        "tfidf_keywords", "keyword_search",
+    ):
+        qs.setdefault(comp, getattr(em, f"q_{comp}"))
     # Iterative queries (connected components) run real Spark jobs at
     # DataFrame-build time, so those must be rebuilt inside each timed
     # run. Everything else is a lazy plan: build it ONCE and time the
