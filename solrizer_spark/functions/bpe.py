@@ -157,6 +157,18 @@ def learn_bpe(
                     i += 1
             words[wi][0] = out
             add_word(wi, +1)
+    # Each merge's product string must be unique across the list: a
+    # duplicate product (same string reachable via two decompositions,
+    # e.g. 'ab'+'c' and 'a'+'bc') is the one case where the engine's
+    # lowest-rank-anywhere greedy loop and the oracle's ascending-rank
+    # fixpoint replay could diverge. Standard BPE cannot learn one
+    # (the first merge removes the adjacent pair the second would
+    # need), so a violation means corrupted training state.
+    products = [a + b for a, b in merges]
+    assert len(set(products)) == len(products), (
+        "duplicate merge product(s): "
+        f"{sorted({p for p in products if products.count(p) > 1})}"
+    )
     return merges
 
 
@@ -255,6 +267,11 @@ def save_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
     corpus (rank preserves application priority)."""
     from solrizer_spark.session import local_df
 
+    products = [a + b for a, b in merges]
+    assert len(set(products)) == len(products), (
+        "merge list has duplicate products — ambiguous tokenization "
+        "(see learn_bpe); refusing to persist"
+    )
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
     local_df(
         spark, rows, "rank long, left string, right string"
@@ -276,18 +293,31 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
 SPECIALS = ("<pad>", "<unk>", "<eos>")
 
 
+#: loud-failure bound for tables documented as "vocabulary-sized":
+#: past this, a global (unpartitioned) rank/sum window is no longer
+#: operating on a vocabulary but on something corpus-shaped, and the
+#: single-partition exchange it implies must not proceed silently
+MAX_VOCAB_ROWS = 10_000_000
+
+
 def build_vocab(
     df: DataFrame,
     merges: Sequence[tuple[str, str]],
     text_col: str = "text",
     specials: Sequence[str] = SPECIALS,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
 ) -> DataFrame:
     """Vocabulary table ``(token, id)``: specials take ids
     ``0..len(specials)-1``, then corpus tokens ranked by (freq desc,
     token asc) — deterministic under any partitioning. The BPE token
     set is bounded by observed characters + one entry per merge, so
     the ranking window runs over a vocabulary-sized table, not the
-    corpus."""
+    corpus — and that assumption is now ENFORCED: a count over the
+    same unpartitioned window (zero extra pass, same exchange) feeds
+    a ``raise_error`` guard, so a pathological corpus (hash-garbage
+    "tokens" inflating the vocab toward corpus size) fails loudly
+    instead of silently single-partition-sorting a giant table.
+    ``max_vocab_rows=None`` disables the guard."""
     spark = df.sparkSession
     counts = (
         bpe_tokenize(df, merges, text_col)
@@ -299,10 +329,24 @@ def build_vocab(
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    ranked = counts.select(
-        "token",
-        (F.row_number().over(w) - 1 + len(specials)).cast("long").alias("id"),
-    )
+    rid = (F.row_number().over(w) - 1 + len(specials)).cast("long")
+    if max_vocab_rows is not None:
+        vrows = F.count(F.lit(1)).over(Window.partitionBy())
+        rid = F.when(vrows <= max_vocab_rows, rid).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "build_vocab: token table has "
+                    ),
+                    vrows.cast("string"),
+                    F.lit(
+                        f" rows > max_vocab_rows={max_vocab_rows}; this is "
+                        "not a vocabulary — refusing the global rank window"
+                    ),
+                )
+            ).cast("long")
+        )
+    ranked = counts.select("token", rid.alias("id"))
     from solrizer_spark.session import local_df
 
     special_rows = local_df(

@@ -132,11 +132,21 @@ def lm_score(
 def train_unigram_model(
     df: DataFrame,
     text_col: str = "text",
+    max_vocab_rows: int | None = None,
 ) -> DataFrame:
     """Corpus unigram table ``(w, p)`` with ``p = count(w)/total`` —
     the backoff distribution for :func:`lm_score_backoff`. Exact
     integer ratio; one map-side-combinable count (the scalar total
-    rides a window over the counts table, vocabulary-sized)."""
+    rides a window over the counts table, vocabulary-sized — and that
+    assumption is ENFORCED: a row count over the same unpartitioned
+    window, zero extra pass, feeds a ``raise_error`` guard so a
+    pathological corpus whose "vocabulary" approaches corpus size
+    fails loudly instead of silently funnelling it through the
+    single-partition exchange). ``max_vocab_rows=None`` uses the
+    shared :data:`solrizer_spark.functions.bpe.MAX_VOCAB_ROWS`."""
+    from solrizer_spark.functions.bpe import MAX_VOCAB_ROWS
+
+    bound = MAX_VOCAB_ROWS if max_vocab_rows is None else max_vocab_rows
     counts = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .groupBy("w")
@@ -144,7 +154,21 @@ def train_unigram_model(
     )
     total = Window.partitionBy()  # single global partition of the
     # vocabulary-sized counts table, not the corpus
-    return counts.select("w", (F.col("c") / F.sum("c").over(total)).alias("p"))
+    p = F.col("c") / F.sum("c").over(total)
+    vrows = F.count(F.lit(1)).over(total)
+    p = F.when(vrows <= bound, p).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("train_unigram_model: counts table has "),
+                vrows.cast("string"),
+                F.lit(
+                    f" rows > max_vocab_rows={bound}; this is not a "
+                    "vocabulary — refusing the global total window"
+                ),
+            )
+        ).cast("double")
+    )
+    return counts.select("w", p.alias("p"))
 
 
 def lm_score_backoff(

@@ -47,18 +47,76 @@ def salted_repartition(
     return df.repartition(num_partitions, F.xxhash64(col, F.lit(salt)))
 
 
+def _parse_byte_size(s: str) -> int:
+    """Parse Spark byte-size strings ('134217728b', '128m', '1g')."""
+    s = s.strip().lower()
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    mult = 1
+    while s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    return int(float(s) * mult) if s else 128 * 1024**2
+
+
+def _scan_split_estimate(df: DataFrame) -> int | None:
+    """Estimated scan-partition count from the plan's file listing —
+    pure plan analysis, never a Spark job. (``df.rdd`` is NOT safe for
+    this: with AQE enabled it finalizes the adaptive plan, which
+    eagerly EXECUTES every upstream shuffle stage, and a later action
+    on the same uncached df re-runs them.)
+
+    Returns None (= unknown) for non-scan-backed plans and whenever a
+    listed file cannot be stat'ed locally (s3/hdfs): unknown means
+    pass-through, so at real scale — where the estimate is beside the
+    point — this guard can never inject a surprise shuffle."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # streaming / non-file relations
+        return None
+    if not files:
+        return None
+    max_bytes = _parse_byte_size(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return None
+        path = parsed.path or f
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        splits += max(1, math.ceil(size / max_bytes))
+    return splits
+
+
 def ensure_min_parallelism(df: DataFrame, floor: int | None = None) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism
-    when the input has fewer partitions — otherwise pass through.
+    when the input's SCAN yields fewer splits — otherwise pass through.
 
     CPU-heavy stages (minhash/simhash fingerprints, Arrow UDFs, LSH
-    banding) inherit the SCAN's split count: a small corpus in one
+    banding) inherit the scan's split count: a small corpus in one
     parquet file runs them in ONE task regardless of cores. At real
     scale a 100 TB scan yields thousands of splits and this is a
     no-op; below the floor the narrow shuffle is trivially cheap
-    relative to the work it parallelizes. The check costs one plan
-    analysis (``df.rdd``), no job."""
+    relative to the work it parallelizes.
+
+    The split count is estimated statically from the file listing
+    (`_scan_split_estimate`) — one plan analysis, zero Spark jobs, no
+    AQE finalization, so calling this on an uncached shuffled plan
+    never double-executes upstream stages. When the estimate is
+    unknown (non-file source, remote filesystem, or an upstream
+    shuffle-only plan) the input passes through: shuffle outputs
+    already carry ``spark.sql.shuffle.partitions``-many partitions,
+    which is the parallelism this guard exists to restore."""
     want = floor or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    est = _scan_split_estimate(df)
+    if est is not None and est < want:
         return df.repartition(want)
     return df

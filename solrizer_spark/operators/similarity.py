@@ -304,7 +304,31 @@ def kmeans_fit(
 
     Empty cells keep their previous centroid. Centroids are
     L2-normalized each round (spherical k-means: the mean direction
-    is the cosine-optimal prototype)."""
+    is the cosine-optimal prototype).
+
+    Iteration hygiene: Lloyd's runs ``1 + n_iter`` actions over
+    ``df``; an expensive upstream plan would re-evaluate every round.
+    The input is therefore persisted here for the duration of
+    training (and unpersisted after) unless the caller already
+    persisted it — at 10^9 vectors, re-running a parse/UDF chain
+    ``n_iter`` times is a real cost."""
+    import math
+
+    from pyspark import StorageLevel
+
+    already = df.storageLevel.useMemory or df.storageLevel.useDisk
+    if not already:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _kmeans_fit_loop(df, k, n_iter, id_col, vec_col)
+    finally:
+        if not already:
+            df.unpersist()
+
+
+def _kmeans_fit_loop(
+    df: DataFrame, k: int, n_iter: int, id_col: str, vec_col: str
+) -> list[list[float]]:
     import math
 
     seeds = (

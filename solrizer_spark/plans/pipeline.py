@@ -525,7 +525,10 @@ def index_record(
     import datetime as _dt
     import json
 
-    ts = warc_ts or _dt.datetime(2024, 1, 1)
+    # naive datetimes are interpreted in spark.sql.session.timeZone
+    # (UTC — pinned by get_spark), not the driver's local tz; pass a
+    # tz-aware warc_ts to be explicit (see session.local_df docstring)
+    ts = warc_ts or _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
     from solrizer_spark.session import local_df
 
     df = local_df(

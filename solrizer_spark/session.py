@@ -70,6 +70,11 @@ def local_df(spark: SparkSession, rows, schema: str):
     """Driver-local rows → DataFrame via the pandas/Arrow path: a
     single JVM LocalRelation, zero Python-worker partitions.
 
+    Timestamp semantics: NAIVE ``datetime`` values are localized in
+    ``spark.sql.session.timeZone`` (the engine pins UTC in
+    ``get_spark``), NOT the driver process's local timezone the
+    pickled-list path would use. Pass tz-aware datetimes to opt out.
+
     The plain list form ``spark.createDataFrame(rows, ddl)`` pickles
     the rows into ``defaultParallelism`` Python partitions; every
     later action then launches that many Python workers for a
@@ -97,10 +102,13 @@ def local_df(spark: SparkSession, rows, schema: str):
             start = i + 1
     fields.append(schema[start:])
     cols = [f.split(None, 1)[0] for f in fields]
+    # materialize ONCE up front: `rows` may be a one-shot iterator,
+    # and the fallback must see the same rows the pandas path consumed
+    rows = [tuple(r) for r in rows]
     try:
-        pdf = pd.DataFrame([tuple(r) for r in rows], columns=cols)
+        pdf = pd.DataFrame(rows, columns=cols)
         return spark.createDataFrame(pdf, schema=schema)
     except (ValueError, TypeError, pyarrow_lib_ArrowInvalid):
         # rows pandas/Arrow can't shape — fall back to the plain path
         # (correct, just slower); schema/analysis errors still raise
-        return spark.createDataFrame(list(rows), schema)
+        return spark.createDataFrame(rows, schema)

@@ -1,0 +1,226 @@
+"""Round-5 regressions: advisor findings + verdict items.
+
+* ``ensure_min_parallelism`` must never execute upstream stages (the
+  round-4 form probed ``df.rdd``, which under AQE finalizes the
+  adaptive plan and eagerly RUNS every upstream shuffle stage).
+* ``local_df`` must survive a one-shot iterator through its fallback.
+* The "vocabulary-sized" global windows in ``build_vocab`` /
+  ``train_unigram_model`` must fail loudly on a corpus whose token
+  table is not vocabulary-shaped.
+* ``learn_bpe``/``save_merges`` refuse ambiguous merge lists.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------
+# ensure_min_parallelism: static estimate, no eager execution
+# --------------------------------------------------------------------
+
+def test_min_parallelism_never_executes_plan(spark):
+    """A poisoned UDF downstream of a shuffle must NOT fire when the
+    guard inspects the frame — the round-4 df.rdd probe ran it."""
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("guard executed the plan")
+
+    df = (
+        spark.range(100)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(boom(F.col("n")).alias("b"))
+    )
+    out = ensure_min_parallelism(df, floor=64)  # must not raise
+    assert out is df  # shuffle-backed plan passes through untouched
+
+
+def test_min_parallelism_repartitions_single_file_scan(spark, tmp_path):
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
+    p = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = ensure_min_parallelism(df, floor=4)
+    assert out is not df
+    assert out.rdd.getNumPartitions() == 4
+    # already-parallel case: floor below the estimate passes through
+    assert ensure_min_parallelism(df, floor=1) is df
+
+
+def test_scan_split_estimate_counts_splits(spark, tmp_path):
+    from solrizer_spark.operators.repartition import _scan_split_estimate
+
+    p = str(tmp_path / "four")
+    spark.range(1000).repartition(4).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = _scan_split_estimate(df)
+    assert est == 4
+    # non-scan plan (local relation) → unknown
+    assert _scan_split_estimate(spark.range(5)) is None
+
+
+# --------------------------------------------------------------------
+# local_df: one-shot iterable survives the fallback path
+# --------------------------------------------------------------------
+
+def test_local_df_accepts_generator(spark):
+    from solrizer_spark.session import local_df
+
+    rows = ((i, f"w{i}") for i in range(5))
+    out = local_df(spark, rows, "id long, w string").collect()
+    assert [(r.id, r.w) for r in out] == [(i, f"w{i}") for i in range(5)]
+
+
+def test_local_df_generator_not_lost_on_fallback(spark, monkeypatch):
+    """Force the pandas path to fail AFTER consuming rows: the
+    fallback must still see all rows (round-4 silently built an
+    empty frame)."""
+    import pandas as pd
+
+    from solrizer_spark import session as sess
+
+    real = spark.createDataFrame
+
+    def picky(data, schema=None, **kw):
+        if isinstance(data, pd.DataFrame):
+            raise ValueError("synthetic pandas-path failure")
+        return real(data, schema, **kw)
+
+    monkeypatch.setattr(spark, "createDataFrame", picky)
+    rows = ((i,) for i in range(4))
+    out = sess.local_df(spark, rows, "id long").collect()
+    assert sorted(r.id for r in out) == [0, 1, 2, 3]
+
+
+# --------------------------------------------------------------------
+# vocabulary-sized window guards
+# --------------------------------------------------------------------
+
+def _garbage_docs(spark, n_docs=20, toks_per_doc=30):
+    """Every token unique → 'vocabulary' == corpus token count."""
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(toks_per_doc)),
+                lambda j: F.concat(
+                    F.lit("g"), F.col("id").cast("string"), F.lit("x"),
+                    j.cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def test_build_vocab_guard_trips_on_garbage_corpus(spark):
+    from solrizer_spark.functions.bpe import bpe_train, build_vocab
+
+    docs = _garbage_docs(spark)
+    merges = bpe_train(docs, "text", num_merges=4, top_k=100)
+    bad = build_vocab(docs, merges, "text", max_vocab_rows=10)
+    with pytest.raises(Exception, match="not a vocabulary"):
+        bad.collect()
+    ok = build_vocab(docs, merges, "text", max_vocab_rows=10_000_000)
+    assert ok.count() > 3
+
+
+def test_unigram_guard_trips_on_garbage_corpus(spark):
+    from solrizer_spark.operators.lm import train_unigram_model
+
+    docs = _garbage_docs(spark)
+    with pytest.raises(Exception, match="not a vocabulary"):
+        train_unigram_model(docs, max_vocab_rows=10).collect()
+    ok = train_unigram_model(docs, max_vocab_rows=10_000_000)
+    assert abs(sum(r.p for r in ok.collect()) - 1.0) < 1e-9
+
+
+def test_unigram_guard_preserves_probabilities(spark):
+    """The guard column must not change p for a sane vocabulary."""
+    from solrizer_spark.operators.lm import train_unigram_model
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r.w: r.p for r in train_unigram_model(docs, max_vocab_rows=100).collect()
+    }
+    assert got == {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+
+
+# --------------------------------------------------------------------
+# BPE merge-product uniqueness
+# --------------------------------------------------------------------
+
+def test_save_merges_rejects_ambiguous_list(spark, tmp_path):
+    from solrizer_spark.functions.bpe import save_merges
+
+    with pytest.raises(AssertionError, match="duplicate products"):
+        save_merges(spark, [("ab", "c"), ("a", "bc")], str(tmp_path / "m"))
+
+
+def test_learned_merges_have_unique_products(spark):
+    from solrizer_spark.functions.bpe import learn_bpe
+
+    merges = learn_bpe([("abcabc", 50), ("abc", 30), ("bc", 20)], 10)
+    products = [a + b for a, b in merges]
+    assert len(set(products)) == len(products)
+
+
+# --------------------------------------------------------------------
+# kmeans_fit iteration hygiene: input evaluated once, not per round
+# --------------------------------------------------------------------
+
+def test_kmeans_fit_persists_input_across_rounds(spark, tmp_path):
+    """An expensive upstream plan must be evaluated ONCE (the persist
+    materialization), not once per Lloyd round. The probe UDF appends
+    one byte per row evaluation; O_APPEND single-byte writes are
+    atomic across local[N] worker threads."""
+    import os
+
+    from solrizer_spark.operators.similarity import kmeans_fit
+
+    probe = str(tmp_path / "evals")
+
+    @F.udf("array<double>")
+    def expensive_vec(i):
+        fd = os.open(probe, os.O_WRONLY | os.O_CREAT | os.O_APPEND)
+        os.write(fd, b".")
+        os.close(fd)
+        return [float(i % 3), float((i + 1) % 3), 1.0]
+
+    n_rows, n_iter = 40, 3
+    df = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"), expensive_vec("id").alias("embedding")
+    )
+    cents = kmeans_fit(df, k=3, n_iter=n_iter)
+    assert len(cents) == 3
+    evals = os.path.getsize(probe)
+    # unpersisted, Lloyd's would re-run the UDF every round:
+    # n_rows * (1 + n_iter). Persisted: exactly one pass.
+    assert evals == n_rows, f"input evaluated {evals / n_rows:.1f}x"
+    # and the persist must not leak past the fit
+    assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
+
+
+def test_kmeans_fit_respects_caller_persist(spark):
+    """A caller-persisted input must stay persisted after fit."""
+    from solrizer_spark.operators.similarity import kmeans_fit
+
+    df = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 2).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    ).persist()
+    try:
+        kmeans_fit(df, k=2, n_iter=2)
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    finally:
+        df.unpersist()
