@@ -76,9 +76,12 @@ for _tags, _bit in (
         _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _bit
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
-    """One DOM text block with boilerplate-classification features."""
+    """One DOM text block with boilerplate-classification features.
+
+    ``slots=True``: block construction is the marshaling hot path of
+    the C kernel (tens of blocks per document at ~µs granularity)."""
 
     block_index: int
     tag_path: str
@@ -90,6 +93,23 @@ class Block:
     text_density: float
     in_boilerplate_container: bool
     kept: bool = False
+
+    def as_dict(self) -> dict:
+        """Slots replacement for ``vars()`` (hand-rolled: the UDF
+        serialization path calls this per block; ``dataclasses.asdict``
+        is ~10× slower via recursive deepcopy)."""
+        return {
+            "block_index": self.block_index,
+            "tag_path": self.tag_path,
+            "text": self.text,
+            "n_chars": self.n_chars,
+            "n_words": self.n_words,
+            "link_chars": self.link_chars,
+            "link_density": self.link_density,
+            "text_density": self.text_density,
+            "in_boilerplate_container": self.in_boilerplate_container,
+            "kept": self.kept,
+        }
 
 
 @dataclass
@@ -263,17 +283,20 @@ def classify_blocks(blocks: list[Block]) -> None:
             b.kept = True
 
 
-#: Default parse backend. ``fused`` is the single-function kernel
-#: (fusedscan.py) — the fastscan state machine with the sink inlined
-#: as locals, ~1.85× stdlib and ~1.15× ``fast`` on the bench corpus;
-#: ``fast`` is the sink-driven single-shot scanner (fastscan.py);
-#: both are stdlib-event-exact and differential-fuzz-pinned.
-#: ``stdlib`` is the HTMLParser-driven parity reference. Overridable
-#: per-cluster without code changes via ``SOLRIZER_HTML_BACKEND``
-#: (executors inherit it through ``spark.executorEnv.*``).
+#: Default parse backend. ``auto`` resolves to ``c`` — the compiled
+#: kernel (cscan/, built on first use with the system C compiler,
+#: per-document fused-fallback on its honest-bail constructs) — when
+#: a toolchain is available, else ``fused``. ``fused`` is the
+#: single-function Python kernel (fusedscan.py) — the fastscan state
+#: machine with the sink inlined as locals, ~1.85× stdlib; ``fast``
+#: is the sink-driven single-shot scanner (fastscan.py); all are
+#: stdlib-event-exact and differential-fuzz-pinned. ``stdlib`` is the
+#: HTMLParser-driven parity reference. Overridable per-cluster
+#: without code changes via ``SOLRIZER_HTML_BACKEND`` (executors
+#: inherit it through ``spark.executorEnv.*``).
 import os as _os
 
-DEFAULT_BACKEND = _os.environ.get("SOLRIZER_HTML_BACKEND", "fused")
+DEFAULT_BACKEND = _os.environ.get("SOLRIZER_HTML_BACKEND", "auto")
 
 
 def _run_fast(text: str) -> _ExtractorState:
@@ -304,7 +327,20 @@ def _run_fused(text: str) -> _ExtractorState:
     return run_fused(text)
 
 
+def _run_c(text: str) -> _ExtractorState:
+    """Compiled kernel; per-document fused fallback on its documented
+    bail constructs (marked sections, non-ASCII tag names, potential
+    case-folded CDATA closes), so parity holds by construction."""
+    from solrizer_spark.extraction.cscan import run_cscan
+
+    state = run_cscan(text)
+    if state is None:
+        return _run_fused(text)
+    return state
+
+
 _BACKENDS = {
+    "c": _run_c,
     "fused": _run_fused,
     "fast": _run_fast,
     "stdlib": _run_stdlib,
@@ -314,18 +350,33 @@ _BACKENDS = {
 
 def _resolve_backend(backend: str):
     """Loud config failure: a typo'd ``SOLRIZER_HTML_BACKEND`` must
-    fail the job, not silently quarantine every page as parse_failed."""
+    fail the job, not silently quarantine every page as parse_failed.
+    ``auto`` degrades silently (c → fused) by design: it is the "use
+    the fastest correct kernel this node can run" setting."""
+    if backend == "auto":
+        from solrizer_spark.extraction import cscan
+
+        backend = "c" if cscan.load() else "fused"
     try:
         run = _BACKENDS[backend]
     except KeyError:
         raise ValueError(
-            f"unknown HTML backend {backend!r} (fused|fast|stdlib|lxml)"
+            f"unknown HTML backend {backend!r} (auto|c|fused|fast|stdlib|lxml)"
         ) from None
     if backend == "lxml":
         from solrizer_spark.extraction.lxml_backend import HAVE_LXML
 
         if not HAVE_LXML:
             raise ImportError("backend='lxml' selected but lxml is not installed on this image")
+    if backend == "c":
+        from solrizer_spark.extraction import cscan
+
+        if not cscan.load():
+            raise ImportError(
+                "backend='c' selected but the cscan kernel cannot be "
+                "built on this image (no C compiler?) — use 'auto' to "
+                "fall back to the Python kernels"
+            )
     return run
 
 

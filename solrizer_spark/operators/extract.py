@@ -153,7 +153,7 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
             "raw_text": result.raw_text,
             "title": result.title,
             "tagged_text": None,
-            "blocks": [vars(b) for b in result.blocks],
+            "blocks": [b.as_dict() for b in result.blocks],
             "parse_failed": False,
             "error": None,
             "bytes_in": len(html),

@@ -42,9 +42,18 @@ def _key(r):
     )
 
 
+def _have_cscan():
+    from solrizer_spark.extraction import cscan
+
+    return cscan.load()
+
+
+_PARITY_BACKENDS = ("fast", "fused") + (("c",) if _have_cscan() else ())
+
+
 def assert_parity(payload):
     a = extract_html(payload, backend="stdlib")
-    for other in ("fast", "fused"):
+    for other in _PARITY_BACKENDS:
         b = extract_html(payload, backend=other)
         assert _key(a) == _key(b), (
             f"{other} backend divergence on {payload!r:.200}"
@@ -217,7 +226,7 @@ def test_env_default_backend(monkeypatch):
 
     import solrizer_spark.extraction.html_text as ht
 
-    assert ht.DEFAULT_BACKEND == "fused"
+    assert ht.DEFAULT_BACKEND == "auto"
     monkeypatch.setenv("SOLRIZER_HTML_BACKEND", "stdlib")
     importlib.reload(ht)
     try:
@@ -226,4 +235,4 @@ def test_env_default_backend(monkeypatch):
     finally:
         monkeypatch.delenv("SOLRIZER_HTML_BACKEND")
         importlib.reload(ht)
-        assert ht.DEFAULT_BACKEND == "fused"
+        assert ht.DEFAULT_BACKEND == "auto"

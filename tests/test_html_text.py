@@ -111,6 +111,6 @@ def test_link_density_feature():
 def test_classifier_is_deterministic_and_idempotent():
     html = b"<html><body><p>Some ordinary content paragraph.</p></body></html>"
     r1, r2 = extract_html(html), extract_html(html)
-    assert [vars(b) for b in r1.blocks] == [vars(b) for b in r2.blocks]
+    assert [b.as_dict() for b in r1.blocks] == [b.as_dict() for b in r2.blocks]
     classify_blocks(r1.blocks)
-    assert [vars(b) for b in r1.blocks] == [vars(b) for b in r2.blocks]
+    assert [b.as_dict() for b in r1.blocks] == [b.as_dict() for b in r2.blocks]

@@ -38,6 +38,14 @@ def main() -> None:
         if name == "lxml" and not HAVE_LXML:
             out["backends"][name] = {"skipped": "lxml not installed"}
             continue
+        if name in ("c", "auto"):
+            from solrizer_spark.extraction import cscan
+
+            if name == "c" and not cscan.load():
+                out["backends"][name] = {"skipped": "no C toolchain"}
+                continue
+            if name == "auto":
+                continue  # alias of c or fused; skip the duplicate row
         for h in htmls[:50]:
             extract_html(h, backend=name)
         best = float("inf")

@@ -22,7 +22,10 @@ def build(out: str = "dist/solrizer_spark.zip") -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                if fn.endswith(".py"):
+                # .c: the cscan kernel source rides the zip and is
+                # compiled on first use per executor node (zip-safe
+                # read via importlib.resources)
+                if fn.endswith((".py", ".c")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
     return target
