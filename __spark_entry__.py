@@ -315,6 +315,52 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_lines(multi, "doc_id", "page_text", min_count=3)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at a fixed window size (the Spark-first
+    form of Lee et al. 2022's suffix-array ExactSubstr): ~1/7 of docs
+    get one shared 12-token preamble, so every 8-token window inside
+    it is corpus-duplicated. One relation carries the per-doc
+    detection counts (dup-span occurrences, keeper spans) and the
+    keep-first removal output (cleaned text + token counters), so the
+    oracle value-checks both stages end to end."""
+    from solrizer_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    pre = (
+        "juliet kilo lima mike november oscar papa quebec romeo sierra "
+        "tango uniform"
+    )
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit(pre + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = duplicate_spans(seeded, span_tokens=8)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_keeper_spans"),
+    )
+    removed = remove_duplicate_spans(seeded, span_tokens=8)
+    return removed.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(F.col("n_keeper_spans"), F.lit(0).cast("long")).alias(
+            "n_keeper_spans"
+        ),
+        "cleaned_text",
+        "n_tokens_kept",
+        "n_tokens_dropped",
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source mixing at T=0.5: languages are the
     sources; sampled proportions ∝ count^0.5, smallest language kept
@@ -1771,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_labels": q_facet_labels,
         "chunk_text": q_chunk_text,
         "line_dedup": q_line_dedup,
+        "substring_dedup": q_substring_dedup,
         "temperature_mix": q_temperature_mix,
         "link_extract": q_link_extract,
         "model_score": q_model_score,
@@ -2207,6 +2254,49 @@ def _component_oracle_sql() -> dict[str, str]:
             "CAST(count(CASE WHEN n < 3 THEN 1 END) AS BIGINT) AS n_lines_kept, "
             "CAST(count(CASE WHEN n >= 3 THEN 1 END) AS BIGINT) AS n_lines_dropped "
             "FROM e JOIN c USING (line) GROUP BY doc_id"
+        ),
+        # substring_dedup: span hash is the shared 60-bit md5 idiom so
+        # the two engines hash windows identically; keeper = global
+        # (doc_id, span_start) minimum, expressed here as rn=1 over an
+        # independent window instead of the engine's min(struct) fold
+        "substring_dedup": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "'juliet kilo lima mike november oscar papa quebec romeo sierra "
+            "tango uniform' || ' ' || text ELSE text END AS text FROM documents), "
+            "tt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d "
+            "WHERE text IS NOT NULL), "
+            "sp AS (SELECT doc_id, i AS span_start, "
+            "CAST(('0x'||substr(md5(array_to_string(tk[i:i+7],' ')),1,15))"
+            "::UBIGINT AS BIGINT) AS h "
+            "FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-6)) AS i FROM tt)), "
+            "mk AS (SELECT doc_id, span_start, "
+            "count(*) OVER (PARTITION BY h) AS n_occ, "
+            "row_number() OVER (PARTITION BY h ORDER BY doc_id, span_start) AS rn "
+            "FROM sp), "
+            "fl AS (SELECT * FROM mk WHERE n_occ >= 2), "
+            "pds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans, "
+            "CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_keeper_spans "
+            "FROM fl GROUP BY doc_id), "
+            "cov AS (SELECT DISTINCT doc_id, idx FROM (SELECT doc_id, "
+            "unnest(range(span_start, span_start + 8)) AS idx FROM fl WHERE rn <> 1)), "
+            "tok AS (SELECT doc_id, i AS idx, tk[i] AS tok "
+            "FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i FROM tt)), "
+            "kept AS (SELECT t.doc_id, t.idx, t.tok FROM tok t LEFT JOIN cov c "
+            "ON t.doc_id = c.doc_id AND t.idx = c.idx WHERE c.idx IS NULL), "
+            "pdr AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS ct, "
+            "CAST(count(*) AS BIGINT) AS nk FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_total FROM tt) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(pds.n_dup_spans, 0) AS BIGINT) AS n_dup_spans, "
+            "CAST(coalesce(pds.n_keeper_spans, 0) AS BIGINT) AS n_keeper_spans, "
+            "CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(pdr.ct, '') END "
+            "AS cleaned_text, "
+            "CAST(CASE WHEN d.text IS NULL THEN 0 ELSE coalesce(pdr.nk, 0) END "
+            "AS BIGINT) AS n_tokens_kept, "
+            "CAST(CASE WHEN d.text IS NULL THEN 0 ELSE "
+            "tot.n_total - coalesce(pdr.nk, 0) END AS BIGINT) AS n_tokens_dropped "
+            "FROM d LEFT JOIN pds USING (doc_id) LEFT JOIN pdr USING (doc_id) "
+            "LEFT JOIN tot USING (doc_id)"
         ),
         # chunk_text: step=24 (32-token chunks, 8 overlap); duckdb list
         # slice is 1-based inclusive and truncates past the end, same

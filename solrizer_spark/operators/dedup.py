@@ -901,3 +901,169 @@ def dedup_against_index(
         .join(flagged, "__k", "left_anti")
         .drop("__k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicate-span) dedup — Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better". The published tool builds a
+# corpus-wide suffix array and removes every >=50-token substring that
+# occurs twice; a suffix array is a single-machine data structure, so the
+# Spark-first form fixes the span length and detects duplicates exactly at
+# that granularity: every duplicated ``span_tokens``-token window is found
+# (a duplicated substring of length >= span_tokens always contains at least
+# one duplicated window, so detection recall at the window size is exact).
+# No reference analog (solrizer is one record per request).
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Every occurrence of a corpus-duplicated ``span_tokens``-token
+    window: ``(id, span_start, span_hash, n_occurrences, is_keeper)``
+    with ``span_start`` 1-based in whitespace tokens and ``is_keeper``
+    true on the single globally-first occurrence (lowest
+    ``(id, span_start)``) — the copy :func:`remove_duplicate_spans`
+    retains under its ``keep='first'`` policy.
+
+    Scale dataflow: span hashing is map-side (one 60-bit
+    :func:`md5_hash60` per window; DuckDB replicates the hash exactly,
+    so oracles stay value-level). The global count + keeper aggregate
+    is map-side combinable (``count`` + ``min(struct)``), so a
+    boilerplate span occurring in 10^8 documents costs one row per
+    partition on the wire, never a skewed reduce group. The only
+    span-keyed shuffle is the join of occurrences back onto the
+    (filtered, count >= min_count) duplicate table — a hot span IS a
+    skewed probe key there; AQE's skew-join split handles it because
+    the build side is one row per hash. Everything downstream is
+    keyed by document id (uniform by construction)."""
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - (span_tokens - 1)
+    spans = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.when(
+                    k <= 0,
+                    # sequence(1, k<=0) would count DOWN; typed empty
+                    F.array().cast("array<struct<start:int,h:bigint>>"),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), k),
+                        lambda i: F.struct(
+                            i.alias("start"),
+                            md5_hash60(
+                                F.array_join(F.slice(toks, i, span_tokens), " ")
+                            ).alias("h"),
+                        ),
+                    )
+                )
+            ).alias("sp"),
+        )
+        .select("_id", F.col("sp.start").alias("span_start"), F.col("sp.h").alias("span_hash"))
+    )
+    dups = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct(F.col("_id"), F.col("span_start"))).alias("_keeper"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    return spans.join(dups, "span_hash").select(
+        F.col("_id").alias(id_col),
+        "span_start",
+        "span_hash",
+        "n_occurrences",
+        (
+            (F.col("_id") == F.col("_keeper._id"))
+            & (F.col("span_start") == F.col("_keeper.span_start"))
+        ).alias("is_keeper"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    min_count: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Drop every token covered by a corpus-duplicated
+    ``span_tokens``-token window, keeping the globally-first occurrence
+    of each span when ``keep='first'`` (``keep='none'`` removes all
+    copies, the C4-line-rule analog). Returns every input row as
+    ``(id, cleaned_text, n_tokens_kept, n_tokens_dropped)``; null-text
+    rows pass through null with zero counters.
+
+    Removal stays relational (the :func:`remove_repeated_lines`
+    shape): flagged spans explode to covered token positions, distinct
+    per doc, anti-joined against the posexploded token relation, and
+    the survivors reassemble under ``array_sort(collect_list(struct))``
+    — every removal-side shuffle is keyed by document id. Overlapping
+    flagged spans coalesce via the distinct, so a fully-boilerplate
+    document costs at most ``span_tokens x`` its token count
+    transiently in the covered-position explode, linear in span
+    length, never quadratic in document length."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    flagged = duplicate_spans(df, id_col, text_col, span_tokens, min_count)
+    if keep == "first":
+        flagged = flagged.where(~F.col("is_keeper"))
+    covered = flagged.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_start") + (span_tokens - 1))
+        ).alias("_idx"),
+    ).distinct()
+    tokens = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos0", "_tok"),
+    ).select("_id", (F.col("_pos0") + 1).alias("_idx"), "_tok")
+    kept = tokens.join(covered, ["_id", "_idx"], "left_anti")
+    n_toks = tokens.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_total"))
+    per_doc = (
+        kept.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+        )
+    )
+    with_text = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .join(n_toks, "_id", "left")
+        .select(
+            "_id",
+            # a doc whose every token sat in duplicated spans comes
+            # back empty, not null (it had text; it was all boilerplate)
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+            (
+                F.col("_n_total")
+                - F.coalesce(F.col("n_tokens_kept"), F.lit(0).cast("long"))
+            ).alias("n_tokens_dropped"),
+        )
+    )
+    null_text = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col).alias("_id"),
+        F.lit(None).cast("string").alias("cleaned_text"),
+        F.lit(0).cast("long").alias("n_tokens_kept"),
+        F.lit(0).cast("long").alias("n_tokens_dropped"),
+    )
+    return with_text.unionByName(null_text).withColumnRenamed("_id", id_col)

@@ -224,3 +224,94 @@ def test_kmeans_fit_respects_caller_persist(spark):
         assert df.storageLevel.useMemory or df.storageLevel.useDisk
     finally:
         df.unpersist()
+
+
+# --------------------------------------------------------------------
+# Exact substring (duplicate-span) dedup
+# --------------------------------------------------------------------
+
+def _ss_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y c d e f g z"),
+            (3, "unique tokens only here ok"),
+            (4, None),
+            (5, "short"),
+            (6, "a b c d e f g h"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_duplicate_spans_finds_shared_windows(spark):
+    from solrizer_spark.operators.dedup import duplicate_spans
+
+    rows = {
+        (r["doc_id"], r["span_start"]): r
+        for r in duplicate_spans(_ss_corpus(spark), span_tokens=4).collect()
+    }
+    # "c d e f" occurs in docs 1 (start 3), 2 (start 3), 6 (start 3)
+    assert rows[(1, 3)]["n_occurrences"] == 3
+    assert rows[(1, 3)]["span_hash"] == rows[(2, 3)]["span_hash"]
+    # keeper is the global (id, start) minimum
+    assert rows[(1, 3)]["is_keeper"] and not rows[(2, 3)]["is_keeper"]
+    assert not rows[(6, 3)]["is_keeper"]
+    # doc 3's windows are unique -> absent; doc 5 is shorter than the
+    # window -> no spans at all
+    assert not any(d == 3 or d == 5 for d, _ in rows)
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from solrizer_spark.operators.dedup import remove_duplicate_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(_ss_corpus(spark), span_tokens=4).collect()
+    }
+    assert len(out) == 6  # every input row comes back
+    # doc 1 is the keeper of every one of its spans -> untouched
+    assert out[1]["cleaned_text"] == "a b c d e f g h"
+    # doc 2 loses the 5 tokens covered by its two flagged windows
+    assert out[2]["cleaned_text"] == "x y z"
+    assert out[2]["n_tokens_kept"] == 3 and out[2]["n_tokens_dropped"] == 5
+    # the verbatim copy is fully boilerplate -> empty, not null
+    assert out[6]["cleaned_text"] == "" and out[6]["n_tokens_dropped"] == 8
+    # null text passes through null with zero counters
+    assert out[4]["cleaned_text"] is None and out[4]["n_tokens_kept"] == 0
+    # untouched docs
+    assert out[3]["cleaned_text"] == "unique tokens only here ok"
+    assert out[5]["cleaned_text"] == "short"
+
+
+def test_remove_duplicate_spans_keep_none(spark):
+    from solrizer_spark.operators.dedup import remove_duplicate_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            _ss_corpus(spark), span_tokens=4, keep="none"
+        ).collect()
+    }
+    # the C4-style rule removes the keeper's copy too
+    assert out[1]["cleaned_text"] == "" and out[1]["n_tokens_dropped"] == 8
+    assert out[2]["cleaned_text"] == "x y z"
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(_ss_corpus(spark), keep="best")
+
+
+def test_remove_duplicate_spans_overlap_coalesces(spark):
+    """Overlapping flagged windows must not double-count dropped
+    tokens (covered positions are distinct-ed per doc)."""
+    from solrizer_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t u"), (2, "p q r s t u")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, span_tokens=3, keep="none").collect()
+    }
+    # 4 overlapping duplicated windows cover all 6 tokens exactly once
+    assert out[1]["n_tokens_dropped"] == 6 and out[1]["n_tokens_kept"] == 0

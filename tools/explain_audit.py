@@ -235,6 +235,23 @@ def main() -> int:
         f"python={p17.count('EvalPython')}",
     )
 
+    # 17. substring dedup: pure JVM, no cartesian, and the span
+    # count+keeper aggregate is map-side combinable (partial HashAgg
+    # before its exchange) so a 10^8-copy boilerplate span never forms
+    # a skewed reduce group
+    p18 = plan_of(em.q_substring_dedup(spark, sf))
+    check(
+        "substring_dedup_no_python_no_cartesian",
+        "EvalPython" not in p18
+        and "CartesianProduct" not in p18
+        and "BroadcastNestedLoopJoin" not in p18,
+        f"exchanges={p18.count('Exchange')}",
+    )
+    check(
+        "substring_dedup_partial_agg (map-side combine on span counts)",
+        "partial_count" in p18 or "partial count" in p18.lower(),
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
