@@ -58,8 +58,9 @@ from pyspark.sql.window import Window
 from solrizer_spark.session import get_spark
 
 KNOWN_OPS = (
-    "normalize", "quality", "fluency", "langs", "linededup", "exactdedup",
-    "neardedup", "basededup", "decontaminate", "scrub", "mix", "chunk",
+    "normalize", "quality", "fluency", "langs", "linededup", "substrdedup",
+    "exactdedup", "neardedup", "basededup", "decontaminate", "scrub", "mix",
+    "chunk",
 )
 
 
@@ -96,6 +97,18 @@ def apply_op(
         cleaned = remove_repeated_lines(
             df, id_col=id_col, text_col=text_col, min_count=args.line_min_count
         ).where(F.col("n_lines_kept") > 0)
+        return (
+            df.drop(text_col)
+            .join(cleaned.select(id_col, "cleaned_text"), id_col)
+            .withColumnRenamed("cleaned_text", text_col)
+        )
+    if op == "substrdedup":
+        from solrizer_spark.operators.dedup import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(
+            df, id_col=id_col, text_col=text_col,
+            span_tokens=args.span_tokens, keep=args.span_keep,
+        ).where(F.col("n_tokens_kept") > 0)
         return (
             df.drop(text_col)
             .join(cleaned.select(id_col, "cleaned_text"), id_col)
@@ -267,6 +280,10 @@ def main() -> None:
                     help="fluency op: minimum mean bigram transition probability")
     ap.add_argument("--langs", default="en")
     ap.add_argument("--line-min-count", type=int, default=3)
+    ap.add_argument("--span-tokens", type=int, default=50,
+                    help="substrdedup op: duplicated-window size in tokens")
+    ap.add_argument("--span-keep", choices=["first", "none"], default="first",
+                    help="substrdedup op: keep the globally-first copy or none")
     ap.add_argument("--near-threshold", type=float, default=0.8)
     ap.add_argument("--cc-algorithm", choices=["label_propagation", "star"],
                     default="label_propagation")

@@ -18,6 +18,7 @@ def _args(**kw) -> argparse.Namespace:
         mix_source_col="lang", mix_temperature=0.7, chunk_tokens=8,
         chunk_overlap=2, cpus=None, stats="full", report=None,
         min_fluency=1e-4, base_path=None, base_index=None, output_format="parquet",
+        span_tokens=50, span_keep="first",
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -232,3 +233,32 @@ def test_curate_basededup_via_index(spark, tmp_path):
                             base_index=idx, near_threshold=0.8))
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {12}
+
+
+def test_curate_substrdedup_op(spark, tmp_path):
+    """substrdedup rewrites duplicated windows out of every copy but
+    the globally-first one; a fully-boilerplate doc is dropped."""
+    from curate import run_curate
+
+    body = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, body + " unique-one"),
+        (2, body + " unique-two"),          # shares the 30-token prefix
+        (3, "totally different words " + " ".join(f"z{i}" for i in range(10))),
+        (4, body),                           # nothing but the shared span
+    ]
+    path = str(tmp_path / "ssd")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    out = str(tmp_path / "ssd_out")
+    run_curate(
+        spark,
+        _args(input=path, output=out, ops="substrdedup", span_tokens=10),
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] == body + " unique-one"       # keeper copy untouched
+    assert got[2] == "unique-two"               # duplicated prefix removed
+    assert "totally different" in got[3]        # unique doc untouched
+    assert 4 not in got                         # all-boilerplate doc dropped
