@@ -16,6 +16,8 @@ corpus-scale operators a 10^12-document extraction pipeline feeds:
 * :func:`connected_components`  pairs → transitive-closure cluster ids
                              (min-label propagation)
 * :func:`dedup_keep_canonical`  drop all but each cluster's min-id doc
+* :func:`duplicate_spans` /  exact substring dedup at fixed window
+  :func:`remove_duplicate_spans`  size (Lee et al. 2022 ExactSubstr)
 
 Scale design: everything before the single candidate-pair shuffle is
 map-side Column expressions (shingling, hashing, signatures, banding).
