@@ -140,8 +140,8 @@ def main() -> None:
         "text_stats", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_pairs", "ann_bruteforce", "outlinks",
         "media_features", "domain_stats", "fetch_schedule", "lm_score",
-        "lm_backoff", "crawl_delay_schedule", "inverted_postings",
-        "tfidf_keywords", "keyword_search",
+        "lm_backoff", "anchors", "crawl_delay_schedule",
+        "inverted_postings", "tfidf_keywords", "keyword_search",
     ):
         qs.setdefault(comp, getattr(em, f"q_{comp}"))
     # Iterative queries (connected components) run real Spark jobs at
