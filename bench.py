@@ -30,7 +30,10 @@ def main() -> None:
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "20"))
 
     import __spark_entry__ as em
-    from solrizer_spark.operators.repartition import salted_repartition
+    from solrizer_spark.operators.repartition import (
+        partitions_for_bytes,
+        salted_repartition,
+    )
     from solrizer_spark.plans.pipeline import run_chain
     from solrizer_spark.session import get_spark
 
@@ -52,19 +55,27 @@ def main() -> None:
         # repartition BEFORE the replicate: the documents table is one
         # small parquet file = one scan partition, which would otherwise
         # serialize the page construction and the shuffle write
-        base.repartition(cpus * 4)
+        base.repartition(cpus)
         .crossJoin(F.broadcast(replicas))
         .withColumn("url", F.concat(F.col("url"), F.lit("?rep="), F.col("rep")))
         .drop("rep")
     )
-    pages = salted_repartition(pages, cpus * 4)
-    n_docs = pages.count()
+    # size the UDF-stage partitioning by bytes (one wave at this input
+    # size; 64 MB partitions at scale) — the same heuristic the job
+    # surface uses, profiled 2.3× faster than the old cpus*4 layout at
+    # 100k docs (per-task Arrow round-trip dominated; BENCH/BASELINE.md
+    # round 5)
+    n_docs, html_bytes = pages.agg(
+        F.count(F.lit(1)), F.sum(F.length("html"))
+    ).collect()[0]
+    n_parts = partitions_for_bytes(html_bytes or 0, cpus)
+    pages = salted_repartition(pages, n_parts)
 
     # warm the Python worker pool on EVERY core (long-lived on a real
     # cluster; the first pandas-UDF action otherwise pays interpreter
     # spin-up × cpus inside the measurement). limit() alone collapses
     # to one partition and warms a single worker — repartition first.
-    warm = base.limit(cpus * 16).repartition(cpus * 4)
+    warm = base.limit(cpus * 16).repartition(cpus)
     run_chain(warm).agg(F.count(F.lit(1))).collect()
 
     def run_extract():
@@ -110,10 +121,13 @@ def main() -> None:
     big_dir = tempfile.mkdtemp(prefix="bench-bigpages-")
     paths = write_corpus(big_dir, n_pages=20_000, seed=42, size_factor=16, chunk_size=2500)
     big = spark.read.parquet(paths["pages"])
-    big = salted_repartition(big, cpus * 4).cache()
-    n_big = big.count()
-    bytes_big = big.agg(F.sum(F.length("html"))).collect()[0][0] or 0
-    run_chain(big.limit(cpus * 16).repartition(cpus * 4)).agg(F.count(F.lit(1))).collect()
+    n_big, bytes_big = big.agg(
+        F.count(F.lit(1)), F.sum(F.length("html"))
+    ).collect()[0]
+    bytes_big = bytes_big or 0
+    big = salted_repartition(big, partitions_for_bytes(bytes_big, cpus)).cache()
+    big.count()
+    run_chain(big.limit(cpus * 16).repartition(cpus)).agg(F.count(F.lit(1))).collect()
 
     def run_big():
         return run_chain(big).agg(F.sum(F.length("doc"))).collect()

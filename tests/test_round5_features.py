@@ -315,3 +315,24 @@ def test_remove_duplicate_spans_overlap_coalesces(spark):
     }
     # 4 overlapping duplicated windows cover all 6 tokens exactly once
     assert out[1]["n_tokens_dropped"] == 6 and out[1]["n_tokens_kept"] == 0
+
+
+class TestPartitionsForBytes:
+    def test_small_input_one_wave(self):
+        from solrizer_spark.operators.repartition import partitions_for_bytes
+        # 56 MB bench corpus on 32 cores → exactly one task per core
+        assert partitions_for_bytes(56 * 1024**2, 32) == 32
+
+    def test_large_input_bytes_ruled(self):
+        from solrizer_spark.operators.repartition import partitions_for_bytes
+        # 100 TB → ~1.6M partitions of 64 MB, not a core-count multiple
+        n = partitions_for_bytes(100 * 1024**4, 1000)
+        assert n == 100 * 1024**4 // (64 * 1024**2)
+
+    def test_cap_applies(self):
+        from solrizer_spark.operators.repartition import partitions_for_bytes
+        assert partitions_for_bytes(10 * 1024**3, 8, max_partitions=64) == 64
+
+    def test_zero_bytes_floors_at_cpus(self):
+        from solrizer_spark.operators.repartition import partitions_for_bytes
+        assert partitions_for_bytes(0, 16) == 16
