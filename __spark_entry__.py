@@ -1805,6 +1805,74 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+#: parquet side table q_semantic_dedup materializes for its oracle:
+#: its own k-means centroids (decoupled from q_kmeans_clusters so the
+#: two queries never race on one path)
+SEMDEDUP_CENTROIDS_ORACLE_PATH = f"{_ORACLE_RUN_DIR}/semdedup_centroids"
+
+#: parquet side table q_importance_resample materializes: the
+#: feature-dim-sized integer log-ratio table (DSIR importance model)
+DSIR_RATIOS_ORACLE_PATH = f"{_ORACLE_RUN_DIR}/dsir_ratios"
+
+DSIR_BUCKETS = 512
+DSIR_TOP_K = 100
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells over ``embeddings``
+    → within-cell cosine ≥ 0.99 flags the higher vec_id as a semantic
+    duplicate. Trains its own k=4 centroids and persists them for the
+    oracle, which re-derives assignment AND the pair flags from the
+    same table (training is iterative; everything after it is
+    deterministic)."""
+    from solrizer_spark.operators.similarity import kmeans_fit, semantic_dedup
+    from solrizer_spark.session import local_df
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the synthetic embeddings carry no natural near-dups (within-cell
+    # cosine tops out ~0.51), so inject deterministic scaled copies —
+    # the q_embedding_near_dup idiom — which the oracle mirrors and
+    # RE-DERIVES through the same cell-assign + pair-cosine pipeline
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    union = emb.unionByName(copies)
+    cents = kmeans_fit(emb, k=4, n_iter=3)
+    rows = [
+        (c, p, w) for c, vec in enumerate(cents) for p, w in enumerate(vec)
+    ]
+    local_df(spark, rows, "cell int, pos int, w double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(SEMDEDUP_CENTROIDS_ORACLE_PATH)
+    return semantic_dedup(union, cents, tau=0.99)
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
+    over ``documents``: hashed word features, integer fixed-point
+    log-ratio weights for target = the English subset, deterministic
+    top-100 selection. The feature-dim-sized ratio table (512 rows) is
+    persisted so the oracle recomputes every doc's weight from the
+    same model with exact integer arithmetic."""
+    from solrizer_spark.operators.sampling import (
+        dsir_importance_weights,
+        dsir_log_ratio_table,
+    )
+    from solrizer_spark.session import local_df
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ratios = dsir_log_ratio_table(
+        docs, "text", F.col("lang") == "en", buckets=DSIR_BUCKETS
+    )
+    local_df(spark, ratios, "f int, qlog long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(DSIR_RATIOS_ORACLE_PATH)
+    return dsir_importance_weights(
+        docs, ratios, "text", "doc_id", buckets=DSIR_BUCKETS, top_k=DSIR_TOP_K
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -1852,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "index_build": q_index_build,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "importance_resample": q_importance_resample,
         "curate_chain": q_curate_chain,
         # bpe_tokens stays last per the standing rule that the most
         # exotic query goes at the END of this dict, so a harness
@@ -2115,6 +2185,84 @@ def _langid_sql() -> str:
         f"SELECT doc_id, (CASE WHEN {score_expr} > 0 THEN {lang_expr} ELSE 'und' END) AS lang_pred "
         f"FROM (SELECT doc_id, {ratios} FROM "
         "(SELECT doc_id, str_split(text,' ') AS t FROM documents))"
+    )
+
+
+def _pair_cos_sql(a: str, b: str, dims: int = 64) -> str:
+    """cosine(a.embedding, b.embedding) with the exact left-fold term
+    order of similarity.cosine (zip_with + aggregate from acc=0.0:
+    0.0 + x == x, so the plain left-assoc SQL sum is bit-identical),
+    zero-norm guarded the same way."""
+    dot = " + ".join(
+        f"(CAST({a}.embedding[{d+1}] AS DOUBLE) * CAST({b}.embedding[{d+1}] AS DOUBLE))"
+        for d in range(dims)
+    )
+    na = " + ".join(
+        f"(CAST({a}.embedding[{d+1}] AS DOUBLE) * CAST({a}.embedding[{d+1}] AS DOUBLE))"
+        for d in range(dims)
+    )
+    nb = " + ".join(
+        f"(CAST({b}.embedding[{d+1}] AS DOUBLE) * CAST({b}.embedding[{d+1}] AS DOUBLE))"
+        for d in range(dims)
+    )
+    denom = f"(sqrt({na}) * sqrt({nb}))"
+    return f"CASE WHEN {denom} <> 0 THEN (({dot}) / {denom}) ELSE 0.0 END"
+
+
+def _semdedup_oracle_sql(dims: int = 64, tau: float = 0.99) -> str:
+    """SemDeDup oracle: re-derive cell assignment from the persisted
+    centroid table (same argmax as _kmeans_oracle_sql), then flag the
+    higher vec_id of every within-cell pair with round(cos,6) ≥ tau."""
+    dot = " + ".join(
+        f"(CAST(embedding[{d+1}] AS DOUBLE) * c[{d+1}])" for d in range(dims)
+    )
+    norm_e = " + ".join(
+        f"(CAST(embedding[{d+1}] AS DOUBLE) * CAST(embedding[{d+1}] AS DOUBLE))"
+        for d in range(dims)
+    )
+    norm_c = " + ".join(f"(c[{d+1}] * c[{d+1}])" for d in range(dims))
+    denom = f"(sqrt({norm_e}) * sqrt({norm_c}))"
+    cs = f"CASE WHEN {denom} <> 0 THEN (({dot}) / {denom}) ELSE 0.0 END"
+    return (
+        "WITH cent AS (SELECT cell, list(w ORDER BY pos) AS c FROM "
+        f"read_parquet('{SEMDEDUP_CENTROIDS_ORACLE_PATH}/*.parquet') GROUP BY cell), "
+        "base AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS embedding "
+        "FROM embeddings WHERE vec_id % 10 = 0), "
+        f"sims AS (SELECT vec_id, embedding, cell, {cs} AS cs "
+        "FROM base CROSS JOIN cent), "
+        "best AS (SELECT vec_id, embedding, cell, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM sims), "
+        "asg AS (SELECT vec_id, embedding, cell FROM best WHERE rn = 1), "
+        "dups AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b "
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id "
+        f"WHERE round({_pair_cos_sql('a', 'b', dims)}, 6) >= {tau}) "
+        "SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS semantic_dup "
+        "FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id"
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    """DSIR oracle: every doc's weight recomputed from the persisted
+    integer log-ratio table — md5-parity feature hash, exact integer
+    sums, same LEFT-JOIN zero-weight semantics and top-k tie-break as
+    dsir_importance_weights."""
+    return (
+        "WITH ratios AS (SELECT f, qlog FROM "
+        f"read_parquet('{DSIR_RATIOS_ORACLE_PATH}/*.parquet')), "
+        "feats AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS w FROM documents), "
+        "fh AS (SELECT doc_id, CAST(('0x'||substr(md5(w),1,15))::UBIGINT "
+        f"% {DSIR_BUCKETS} AS INT) AS f FROM feats), "
+        "wsum AS (SELECT fh.doc_id, SUM(r.qlog) AS weight "
+        "FROM fh JOIN ratios r USING (f) GROUP BY fh.doc_id), "
+        "w AS (SELECT d.doc_id, CAST(COALESCE(wsum.weight, 0) AS BIGINT) "
+        "AS weight FROM documents d LEFT JOIN wsum ON d.doc_id = wsum.doc_id), "
+        "sel AS (SELECT doc_id FROM w ORDER BY weight DESC, doc_id ASC "
+        f"LIMIT {DSIR_TOP_K}) "
+        "SELECT w.doc_id, w.weight, (s.doc_id IS NOT NULL) AS selected "
+        "FROM w LEFT JOIN sel s ON w.doc_id = s.doc_id"
     )
 
 
@@ -2621,6 +2769,8 @@ def _component_oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": _ivf_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "semantic_dedup": _semdedup_oracle_sql(),
+        "importance_resample": _dsir_oracle_sql(),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "
             "(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 100) < "

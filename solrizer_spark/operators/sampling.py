@@ -199,3 +199,127 @@ def pack_sequences(
     return df.withColumn("bin_id", (preceding / capacity).cast("long")).withColumn(
         "bin_offset", (preceding % capacity).cast("long")
     )
+
+
+#: DSIR word-feature regex — lowercase letter runs, identical in Spark
+#: (`regexp_extract_all`) and DuckDB; see q_importance_resample's oracle
+DSIR_WORD_RE = "[a-z]+"
+
+
+def hashed_word_features(text: Column | str, buckets: int) -> Column:
+    """Hashed word features for importance resampling (DSIR, Xie et
+    al. 2023, arXiv:2302.03169 — hashed n-gram features §2.2): every
+    lowercase word maps to a bucket via the md5-parity 60-bit hash,
+    keeping multiplicity (DSIR weights count feature OCCURRENCES, not
+    the distinct set). Pure Column expression, zero Python."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.regexp_extract_all(F.lower(col), F.lit(DSIR_WORD_RE), F.lit(0))
+    return F.transform(words, lambda w: (md5_hash60(w) % buckets).cast("int"))
+
+
+def dsir_log_ratio_table(
+    df: DataFrame,
+    text_col: str,
+    target_cond: Column,
+    buckets: int = 512,
+    scale: int = 1_000_000,
+) -> list[tuple[int, int]]:
+    """Importance log-ratios per hashed feature, integer fixed-point.
+
+    DSIR's importance weight for a document is
+    ``Σ_f c_f(doc) · log(p_target(f) / p_raw(f))`` with add-1-smoothed
+    hashed-feature distributions. The per-feature log-ratio table is
+    FEATURE-DIM-sized (``buckets`` rows — a constant, never
+    corpus-shaped), so it is computed driver-side from two bounded
+    aggregations and quantized to ``round(log_ratio · scale)`` as
+    int64 — document weights then come out of exact integer
+    arithmetic, reproducible bit-for-bit in any SQL engine (the same
+    dodge as operators/lm.py's rational arithmetic; float ``ln`` is
+    evaluated ONCE here, never per-row or per-engine).
+
+    Scale: the corpus-sized work is one explode + groupBy(feature)
+    count with map-side combine; the collect is ≤ ``buckets`` rows.
+    """
+    import math
+
+    feats = df.select(
+        target_cond.alias("_is_target"),
+        F.explode(hashed_word_features(text_col, buckets)).alias("f"),
+    )
+    counts = (
+        feats.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("_raw"),
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_tgt"),
+        )
+        .collect()
+    )
+    raw = {r["f"]: r["_raw"] for r in counts}
+    tgt = {r["f"]: int(r["_tgt"]) for r in counts}
+    raw_total = sum(raw.values()) + buckets
+    tgt_total = sum(tgt.values()) + buckets
+    out = []
+    for f in range(buckets):
+        p_t = (tgt.get(f, 0) + 1) / tgt_total
+        p_r = (raw.get(f, 0) + 1) / raw_total
+        out.append((f, round(math.log(p_t / p_r) * scale)))
+    return out
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    ratio_rows: list[tuple[int, int]],
+    text_col: str,
+    id_col: str,
+    buckets: int = 512,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance weights + deterministic top-k
+    selection flag.
+
+    ``weight = Σ_f c_f(doc) · qlog_f`` (exact int64: quantized
+    log-ratios from :func:`dsir_log_ratio_table`), computed by
+    exploding the doc's hashed features against the BROADCAST ratio
+    dim and summing per doc — one corpus-sized shuffle keyed by the
+    doc id, map-side combinable. ``selected`` marks the ``top_k``
+    highest-weight docs (ties broken by ascending id): the
+    deterministic analog of DSIR's Gumbel-top-k resampling, chosen so
+    a SQL oracle reproduces the sample exactly; swap in
+    ``weight + gumbel(hash(id))`` for the statistical variant.
+
+    The selection is TakeOrdered (per-partition top-k, k rows to the
+    driver) + a broadcast semi-join flag — NOT a global rank window,
+    which would single-partition-sort the corpus-sized weight table
+    at 10^12 docs. ``top_k`` must be broadcast-sized (≲10^6)."""
+    from solrizer_spark.session import local_df
+
+    ratios = local_df(
+        df.sparkSession, ratio_rows, "f int, qlog long"
+    )
+    feats = df.select(
+        F.col(id_col), F.explode(hashed_word_features(text_col, buckets)).alias("f")
+    )
+    weights = (
+        feats.join(F.broadcast(ratios), "f")
+        .groupBy(id_col)
+        .agg(F.sum("qlog").alias("weight"))
+    )
+    # docs with zero features never appear in the explode: re-join so
+    # they surface with weight 0 (DuckDB's LEFT JOIN mirrors this)
+    out = (
+        df.select(id_col)
+        .join(weights, id_col, "left")
+        .withColumn("weight", F.coalesce(F.col("weight"), F.lit(0)).cast("long"))
+    )
+    if top_k is not None:
+        winners = (
+            out.orderBy(F.col("weight").desc(), F.col(id_col).asc())
+            .limit(top_k)  # TakeOrdered: no global sort exchange
+            .select(F.col(id_col).alias("_sel_id"))
+        )
+        out = out.join(
+            F.broadcast(winners), out[id_col] == F.col("_sel_id"), "left"
+        ).select(
+            id_col, "weight", F.col("_sel_id").isNotNull().alias("selected")
+        )
+    return out

@@ -422,3 +422,65 @@ def assign_cells_join(
     if keep_vec:
         out_cols.append(F.col("_b.v").alias(vec_col))
     return best.select(*out_cols)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.99,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then flagging
+    within-cluster cosine near-duplicates.
+
+    Each vector is assigned to its nearest centroid
+    (:func:`assign_ivf_cell_sim`, pure codegen); within every cell,
+    pairs with ``round(cosine, 6) ≥ tau`` mark the HIGHER id as the
+    duplicate (keep-first, deterministic). Output: one row per input
+    — ``(id, cell, semantic_dup)``.
+
+    Scale: the within-cell self-join is the SemDeDup design point —
+    quadratic only inside a cell, so ``k`` must grow with the corpus
+    (the paper uses cells of ~10^4 over 10^8 docs). For skewed or
+    degenerate clusterings, ``max_cell`` caps each cell's join
+    participants by ascending id pre-shuffle (the
+    :func:`~solrizer_spark.operators.dedup.cap_bucket_rows` valve —
+    docs beyond the cap are never flagged, trading recall for a hard
+    bound, same contract as the LSH pair caps). Vectors ride the join
+    exactly once per side; no cartesian (cell-key hash join)."""
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        assign_ivf_cell_sim(F.col(vec_col), centroids)["cell"].alias("cell"),
+    )
+    joinable = assigned
+    if max_cell is not None:
+        from solrizer_spark.operators.dedup import cap_bucket_rows
+
+        joinable = cap_bucket_rows(
+            assigned, [F.col("cell")], [F.col("_id")], max_cell
+        )
+    a = joinable.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cell"
+    )
+    b = joinable.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cell"
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= tau)
+        .select(F.col("_idb").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned["_id"] == F.col("_dup_id"), "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.col("_dup_id").isNotNull().alias("semantic_dup"),
+        )
+    )

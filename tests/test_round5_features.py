@@ -336,3 +336,113 @@ class TestPartitionsForBytes:
     def test_zero_bytes_floors_at_cpus(self):
         from solrizer_spark.operators.repartition import partitions_for_bytes
         assert partitions_for_bytes(0, 16) == 16
+
+
+class TestSemanticDedup:
+    def test_scaled_copies_flagged_originals_kept(self, spark):
+        import pyspark.sql.functions as F
+        from solrizer_spark.operators.similarity import kmeans_fit, semantic_dedup
+        from solrizer_spark.session import local_df
+
+        import __spark_entry__ as em
+        emb = em._table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        copies = emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias(
+                "embedding"
+            ),
+        )
+        union = emb.unionByName(copies)
+        cents = kmeans_fit(emb, k=2, n_iter=2)
+        out = semantic_dedup(union, cents, tau=0.99).persist()
+        n_copies = copies.count()
+        # every injected copy (higher id, cosine 1.0 to its source in
+        # the same cell) is flagged; no original is
+        assert out.where("semantic_dup AND vec_id >= 100000").count() == n_copies
+        assert out.where("semantic_dup AND vec_id < 100000").count() == 0
+        assert out.count() == union.count()
+        out.unpersist()
+
+    def test_max_cell_cap_bounds_flags(self, spark):
+        import pyspark.sql.functions as F
+        from solrizer_spark.operators.similarity import kmeans_fit, semantic_dedup
+
+        import __spark_entry__ as em
+        emb = em._table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        copies = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias(
+                "embedding"
+            ),
+        )
+        union = emb.unionByName(copies)
+        cents = kmeans_fit(emb, k=2, n_iter=2)
+        uncapped = semantic_dedup(union, cents, tau=0.99)
+        capped = semantic_dedup(union, cents, tau=0.99, max_cell=4)
+        # the cap keeps ≤4 join participants per cell (lowest ids), so
+        # at most 2 cells × C(4,2) pair checks can flag anything — far
+        # fewer flags than the uncapped run, but never MORE
+        n_unc = uncapped.where("semantic_dup").count()
+        n_cap = capped.where("semantic_dup").count()
+        assert n_cap <= n_unc
+        assert n_cap <= 2 * 3  # ≤ cells × (max_cell - 1) possible dups
+        assert capped.count() == union.count()  # caps recall, not rows
+
+
+class TestDSIR:
+    def test_target_tilt_and_determinism(self, spark):
+        import pyspark.sql.functions as F
+        from solrizer_spark.operators.sampling import (
+            dsir_importance_weights,
+            dsir_log_ratio_table,
+        )
+
+        import __spark_entry__ as em
+        docs = em._table(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", "text", "lang"
+        )
+        ratios = dsir_log_ratio_table(
+            docs, "text", F.col("lang") == "en", buckets=256
+        )
+        assert len(ratios) == 256
+        assert all(isinstance(q, int) for _, q in ratios)
+        out = dsir_importance_weights(
+            docs, ratios, "text", "doc_id", buckets=256, top_k=50
+        ).persist()
+        assert out.where("selected").count() == 50
+        # English docs (the target) must carry higher mean weight
+        means = {
+            r["lang"]: r["m"]
+            for r in out.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.avg("weight").alias("m"))
+            .collect()
+        }
+        assert means["en"] > means["zh"]
+        assert means["en"] > means["fr"]
+        # rerun is bit-identical (pure function of the ratio table)
+        again = dsir_importance_weights(
+            docs, ratios, "text", "doc_id", buckets=256, top_k=50
+        )
+        assert out.exceptAll(again).count() == 0
+        out.unpersist()
+
+    def test_zero_feature_doc_gets_zero_weight(self, spark):
+        from solrizer_spark.operators.sampling import dsir_importance_weights
+        from solrizer_spark.session import local_df
+
+        docs = local_df(
+            spark,
+            [(1, "hello world"), (2, "12345 !!!")],  # doc 2: no [a-z]+ runs
+            "doc_id long, text string",
+        )
+        out = dsir_importance_weights(
+            docs, [(0, 7), (1, -3)], "text", "doc_id", buckets=2
+        )
+        rows = {r["doc_id"]: r["weight"] for r in out.collect()}
+        assert rows[2] == 0
+        assert set(rows) == {1, 2}

@@ -252,6 +252,25 @@ def main() -> int:
         "partial_count" in p18 or "partial count" in p18.lower(),
     )
 
+    p19 = plan_of(em.q_semantic_dedup(spark, sf))
+    check(
+        "semantic_dedup_no_python_no_cartesian",
+        "EvalPython" not in p19
+        and "CartesianProduct" not in p19
+        and "BroadcastNestedLoopJoin" not in p19,
+        f"exchanges={p19.count('Exchange')}",
+    )
+
+    p20 = plan_of(em.q_importance_resample(spark, sf))
+    check(
+        "dsir_ratio_join_broadcast_topk_takeordered",
+        "BroadcastHashJoin" in p20
+        and "TakeOrdered" in p20
+        and "EvalPython" not in p20
+        and "CartesianProduct" not in p20,
+        f"bhj={p20.count('BroadcastHashJoin')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
