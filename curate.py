@@ -38,6 +38,9 @@ Ops (applied in the order given):
 * ``scrub``       PII redaction (emails/IPv4/phones)
 * ``mix``         temperature-weighted source rebalancing
                   (--mix-source-col, --mix-temperature)
+* ``dsir``        DSIR importance resampling toward a target domain
+                  (--dsir-target-lang via langid; keeps the
+                  --dsir-keep-frac highest-importance docs)
 * ``chunk``       split into --chunk-tokens windows with
                   --chunk-overlap carry (emits chunk rows)
 
@@ -60,7 +63,7 @@ from solrizer_spark.session import get_spark
 KNOWN_OPS = (
     "normalize", "quality", "fluency", "langs", "linededup", "substrdedup",
     "exactdedup", "neardedup", "basededup", "decontaminate", "scrub", "mix",
-    "chunk",
+    "dsir", "chunk",
 )
 
 
@@ -185,6 +188,28 @@ def apply_op(
         return temperature_mix(
             df, args.mix_source_col, id_col, temperature=args.mix_temperature
         )
+    if op == "dsir":
+        import math
+
+        from solrizer_spark.functions.text_stats import langid
+        from solrizer_spark.operators.sampling import (
+            dsir_importance_weights,
+            dsir_log_ratio_table,
+        )
+
+        df = df.persist()  # scanned 3x: ratio agg, weighting, count
+        persisted.append(df)
+        target = langid(text_col) == args.dsir_target_lang
+        ratios = dsir_log_ratio_table(
+            df, text_col, target, buckets=args.dsir_buckets
+        )
+        k = max(1, math.ceil(df.count() * args.dsir_keep_frac))
+        weighted = dsir_importance_weights(
+            df, ratios, text_col, id_col, buckets=args.dsir_buckets, top_k=k
+        )
+        return df.join(
+            weighted.where("selected").select(id_col), id_col, "left_semi"
+        )
     if op == "chunk":
         from solrizer_spark.operators.sampling import chunk_text
 
@@ -295,6 +320,12 @@ def main() -> None:
                     "only signaturing; takes precedence over --base-path)")
     ap.add_argument("--mix-source-col", default="lang")
     ap.add_argument("--mix-temperature", type=float, default=0.7)
+    ap.add_argument("--dsir-target-lang", default="en",
+                    help="dsir op: target domain = docs langid'd to this")
+    ap.add_argument("--dsir-keep-frac", type=float, default=0.5,
+                    help="dsir op: fraction of docs kept (importance top-k)")
+    ap.add_argument("--dsir-buckets", type=int, default=512,
+                    help="dsir op: hashed-feature dimension")
     ap.add_argument("--chunk-tokens", type=int, default=512)
     ap.add_argument("--chunk-overlap", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=None)

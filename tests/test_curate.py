@@ -19,6 +19,7 @@ def _args(**kw) -> argparse.Namespace:
         chunk_overlap=2, cpus=None, stats="full", report=None,
         min_fluency=1e-4, base_path=None, base_index=None, output_format="parquet",
         span_tokens=50, span_keep="first",
+        dsir_target_lang="en", dsir_keep_frac=0.5, dsir_buckets=128,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -262,3 +263,18 @@ def test_curate_substrdedup_op(spark, tmp_path):
     assert got[2] == "unique-two"               # duplicated prefix removed
     assert "totally different" in got[3]        # unique doc untouched
     assert 4 not in got                         # all-boilerplate doc dropped
+
+
+def test_curate_dsir(spark, docs_table, tmp_path):
+    from curate import run_curate
+
+    out = str(tmp_path / "dsir_out")
+    stats = run_curate(
+        spark,
+        _args(input=docs_table, output=out, ops="dsir", dsir_keep_frac=0.5),
+    )
+    # 6 docs in, ceil(6 * 0.5) = 3 kept, schema passes through
+    assert stats["ops"][-1]["rows_after"] == 3
+    kept = spark.read.parquet(out)
+    assert kept.count() == 3
+    assert set(kept.columns) == {"doc_id", "text", "lang"}
