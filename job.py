@@ -132,7 +132,23 @@ def run_job(
     skipped = len(done)
 
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # bytes-aware default: one 64 MB partition per task with a
+        # one-task-per-core floor (see partitions_for_bytes — the
+        # identity-UDF profile showed per-task Arrow round-trips
+        # dominating under-filled layouts). Static file-listing
+        # estimate, no job; unknown (non-file source) falls back to
+        # the session's shuffle-partition setting.
+        from solrizer_spark.operators.repartition import (
+            _scan_input_bytes,
+            partitions_for_bytes,
+        )
+
+        input_bytes = _scan_input_bytes(pages)
+        cores = spark.sparkContext.defaultParallelism
+        if input_bytes is not None:
+            num_partitions = partitions_for_bytes(input_bytes, cores)
+        else:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     if dedup == "url":
         # canonical-url dedup ahead of extraction: keep the earliest

@@ -87,24 +87,52 @@ def partitions_for_bytes(
     return want
 
 
-def _scan_split_estimate(df: DataFrame) -> int | None:
-    """Estimated scan-partition count from the plan's file listing —
-    pure plan analysis, never a Spark job. (``df.rdd`` is NOT safe for
-    this: with AQE enabled it finalizes the adaptive plan, which
-    eagerly EXECUTES every upstream shuffle stage, and a later action
-    on the same uncached df re-runs them.)
+def _scan_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes behind the plan's file listing — pure plan
+    analysis, never a Spark job. (``df.rdd`` is NOT safe for this:
+    with AQE enabled it finalizes the adaptive plan, which eagerly
+    EXECUTES every upstream shuffle stage, and a later action on the
+    same uncached df re-runs them.)
 
     Returns None (= unknown) for non-scan-backed plans and whenever a
-    listed file cannot be stat'ed locally (s3/hdfs): unknown means
-    pass-through, so at real scale — where the estimate is beside the
-    point — this guard can never inject a surprise shuffle."""
-    import math
+    listed file cannot be stat'ed locally (s3/hdfs)."""
     import os
     from urllib.parse import urlparse
 
     try:
         files = df.inputFiles()
     except Exception:  # streaming / non-file relations
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return None
+        path = parsed.path or f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def _scan_split_estimate(df: DataFrame) -> int | None:
+    """Estimated scan-partition count from the plan's file listing —
+    see :func:`_scan_input_bytes` for why this never touches df.rdd.
+
+    Returns None (= unknown) when the byte total is unknown: unknown
+    means pass-through, so at real scale — where the estimate is
+    beside the point — this guard can never inject a surprise
+    shuffle."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
         return None
     if not files:
         return None

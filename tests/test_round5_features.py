@@ -446,3 +446,26 @@ class TestDSIR:
         rows = {r["doc_id"]: r["weight"] for r in out.collect()}
         assert rows[2] == 0
         assert set(rows) == {1, 2}
+
+
+class TestScanInputBytes:
+    def test_parquet_scan_bytes_and_unknown(self, spark, tmp_path):
+        import os
+
+        from solrizer_spark.operators.repartition import _scan_input_bytes
+
+        p = str(tmp_path / "t")
+        spark.range(10000).write.parquet(p)
+        df = spark.read.parquet(p)
+        est = _scan_input_bytes(df)
+        actual = sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        assert est == actual
+        # a shuffle above the scan still reports the scan's bytes
+        # (inputFiles walks to the underlying file relation)
+        assert _scan_input_bytes(df.groupBy("id").count()) == actual
+        # no file relation at all (local range) -> unknown, never a job
+        assert _scan_input_bytes(spark.range(5)) is None
