@@ -2188,31 +2188,12 @@ def _langid_sql() -> str:
     )
 
 
-def _pair_cos_sql(a: str, b: str, dims: int = 64) -> str:
-    """cosine(a.embedding, b.embedding) with the exact left-fold term
-    order of similarity.cosine (zip_with + aggregate from acc=0.0:
-    0.0 + x == x, so the plain left-assoc SQL sum is bit-identical),
-    zero-norm guarded the same way."""
-    dot = " + ".join(
-        f"(CAST({a}.embedding[{d+1}] AS DOUBLE) * CAST({b}.embedding[{d+1}] AS DOUBLE))"
-        for d in range(dims)
-    )
-    na = " + ".join(
-        f"(CAST({a}.embedding[{d+1}] AS DOUBLE) * CAST({a}.embedding[{d+1}] AS DOUBLE))"
-        for d in range(dims)
-    )
-    nb = " + ".join(
-        f"(CAST({b}.embedding[{d+1}] AS DOUBLE) * CAST({b}.embedding[{d+1}] AS DOUBLE))"
-        for d in range(dims)
-    )
-    denom = f"(sqrt({na}) * sqrt({nb}))"
-    return f"CASE WHEN {denom} <> 0 THEN (({dot}) / {denom}) ELSE 0.0 END"
-
-
 def _semdedup_oracle_sql(dims: int = 64, tau: float = 0.99) -> str:
     """SemDeDup oracle: re-derive cell assignment from the persisted
-    centroid table (same argmax as _kmeans_oracle_sql), then flag the
-    higher vec_id of every within-cell pair with round(cos,6) ≥ tau."""
+    centroid table (same argmax as _kmeans_oracle_sql), L2-normalize
+    each vector ONCE (the operator pre-normalizes before its pair
+    join — same guard, same fold order), then flag the higher vec_id
+    of every within-cell pair with round(dot-of-units, 6) ≥ tau."""
     dot = " + ".join(
         f"(CAST(embedding[{d+1}] AS DOUBLE) * c[{d+1}])" for d in range(dims)
     )
@@ -2223,6 +2204,12 @@ def _semdedup_oracle_sql(dims: int = 64, tau: float = 0.99) -> str:
     norm_c = " + ".join(f"(c[{d+1}] * c[{d+1}])" for d in range(dims))
     denom = f"(sqrt({norm_e}) * sqrt({norm_c}))"
     cs = f"CASE WHEN {denom} <> 0 THEN (({dot}) / {denom}) ELSE 0.0 END"
+    unit = (
+        f"CASE WHEN sqrt({norm_e}) <> 0 THEN "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm_e})) "
+        "ELSE list_transform(embedding, x -> 0.0) END"
+    )
+    pair_dot = " + ".join(f"(a.u[{d+1}] * b.u[{d+1}])" for d in range(dims))
     return (
         "WITH cent AS (SELECT cell, list(w ORDER BY pos) AS c FROM "
         f"read_parquet('{SEMDEDUP_CENTROIDS_ORACLE_PATH}/*.parquet') GROUP BY cell), "
@@ -2234,10 +2221,10 @@ def _semdedup_oracle_sql(dims: int = 64, tau: float = 0.99) -> str:
         "FROM base CROSS JOIN cent), "
         "best AS (SELECT vec_id, embedding, cell, row_number() OVER "
         "(PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM sims), "
-        "asg AS (SELECT vec_id, embedding, cell FROM best WHERE rn = 1), "
+        f"asg AS (SELECT vec_id, cell, {unit} AS u FROM best WHERE rn = 1), "
         "dups AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b "
         "ON a.cell = b.cell AND a.vec_id < b.vec_id "
-        f"WHERE round({_pair_cos_sql('a', 'b', dims)}, 6) >= {tau}) "
+        f"WHERE round(({pair_dot}), 6) >= {tau}) "
         "SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS semantic_dup "
         "FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id"
     )
