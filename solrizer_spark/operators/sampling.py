@@ -240,8 +240,6 @@ def dsir_log_ratio_table(
     Scale: the corpus-sized work is one explode + groupBy(feature)
     count with map-side combine; the collect is ≤ ``buckets`` rows.
     """
-    import math
-
     feats = df.select(
         target_cond.alias("_is_target"),
         F.explode(hashed_word_features(text_col, buckets)).alias("f"),
@@ -256,6 +254,19 @@ def dsir_log_ratio_table(
     )
     raw = {r["f"]: r["_raw"] for r in counts}
     tgt = {r["f"]: int(r["_tgt"]) for r in counts}
+    return quantized_log_ratios(raw, tgt, buckets, scale)
+
+
+def quantized_log_ratios(
+    raw: dict[int, int], tgt: dict[int, int], buckets: int, scale: int = 1_000_000
+) -> list[tuple[int, int]]:
+    """Pure kernel of :func:`dsir_log_ratio_table`:
+    ``qlog_f = round(log((tgt_f+1)/Σ(tgt+1) / ((raw_f+1)/Σ(raw+1))) ·
+    scale)`` — add-1 smoothing over ``buckets`` features, int64
+    output (hypothesis-pinned: identical distributions → all-zero,
+    raising a feature's target count never lowers its log-ratio)."""
+    import math
+
     raw_total = sum(raw.values()) + buckets
     tgt_total = sum(tgt.values()) + buckets
     out = []

@@ -112,3 +112,38 @@ def test_chunk_text_covers_document(tokens, chunk_tokens, overlap):
         covered.update(range(i * step, i * step + len(c)))
     assert covered == set(range(n))
     assert text == " ".join(tokens)
+
+
+_count_dicts = st.dictionaries(
+    st.integers(min_value=0, max_value=31),
+    st.integers(min_value=0, max_value=10_000),
+    max_size=32,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_count_dicts)
+def test_dsir_identical_distributions_are_zero(counts):
+    from solrizer_spark.operators.sampling import quantized_log_ratios
+
+    out = quantized_log_ratios(counts, dict(counts), buckets=32)
+    assert [q for _, q in out] == [0] * 32
+    assert [f for f, _ in out] == list(range(32))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_count_dicts, _count_dicts, st.integers(min_value=0, max_value=31),
+       st.integers(min_value=1, max_value=1000))
+def test_dsir_target_count_monotone(raw, tgt, f, bump):
+    """Raising one feature's TARGET count never lowers its own
+    log-ratio, and never raises any other feature's."""
+    from solrizer_spark.operators.sampling import quantized_log_ratios
+
+    base = dict(quantized_log_ratios(raw, tgt, buckets=32))
+    bumped_tgt = dict(tgt)
+    bumped_tgt[f] = bumped_tgt.get(f, 0) + bump
+    bumped = dict(quantized_log_ratios(raw, bumped_tgt, buckets=32))
+    assert bumped[f] >= base[f]
+    for g in range(32):
+        if g != f:
+            assert bumped[g] <= base[g]
