@@ -172,7 +172,13 @@ def main() -> None:
     # bpe_tokens is here because its training stage (word-count
     # shuffle + top-k collect + merge loop) runs at DataFrame-build
     # time — building once outside the timed runs would hide it
-    iterative = {"dedup_clusters", "pagerank", "bpe_tokens"}
+    # semantic_dedup trains k-means and importance_resample collects
+    # its ratio table at DataFrame-BUILD time — rebuilt inside each
+    # timed run, same rule as bpe_tokens' merge learning
+    iterative = {
+        "dedup_clusters", "pagerank", "bpe_tokens",
+        "semantic_dedup", "importance_resample",
+    }
     # pure-projection queries: count(lit(1)) lets Catalyst prune the
     # projected expressions entirely (even the Arrow UDF stage), so the
     # timing would measure a bare row-count scan. Counting a computed
@@ -195,6 +201,9 @@ def main() -> None:
         "inverted_postings": "posting_rank",
         "tfidf_keywords": "score",
         "keyword_search": "score",
+        "substring_dedup": "n_tokens_dropped",
+        "semantic_dedup": "cell",
+        "importance_resample": "selected",
     }
     for name in [
         "page_sequence",
@@ -219,6 +228,9 @@ def main() -> None:
         "robots_filter",
         "bpe_word_counts",
         "bpe_tokens",
+        "substring_dedup",
+        "semantic_dedup",
+        "importance_resample",
         "pagerank",
         "fetch_schedule",
         "lm_score",
