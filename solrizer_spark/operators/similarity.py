@@ -124,22 +124,42 @@ def lsh_topk(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's hyperplane
-    bucket only. At 10^12 scale the bucketed table is precomputed and
-    partitioned by bucket id, so a probe touches 1/2^n_bits of data."""
+    bucket(s) only. At 10^12 scale the bucketed table is precomputed
+    and partitioned by bucket id, so a probe touches
+    ~bands/2^n_bits of data.
+
+    ``bands > 1`` is the multiband probe (the
+    :func:`embedding_near_dup_pairs` banding reused for search): a
+    row is a candidate if it collides with the query in ANY band's
+    bucket, which repairs the single-band recall cliff for vectors
+    that land just across one hyperplane (mean recall@10 0.87 → 0.99, min 0.5 → 0.9,
+    on the planted-cluster harness at bands=4; see
+    BENCH/ann_recall_r5.json). Each band uses disjoint hyperplanes
+    (offset = band·n_bits), and all band buckets are plan-time
+    literals — the scan stays a single pass with an OR-of-equalities
+    filter (at scale: one stored bucket column per band, nprobe-style
+    partition pruning)."""
     dims = len(query_vec)
-    q_bits = [
-        1 if sum(_hyperplane_sign(j, d) * query_vec[d] for d in range(dims)) > 0 else 0
-        for j in range(n_bits)
-    ]
-    q_bucket = 0
-    for b in q_bits:
-        q_bucket = q_bucket * 2 + b
-    bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), n_bits, dims))
-    return brute_force_topk(
-        bucketed.where(F.col("_bucket") == q_bucket), query_vec, k, id_col, vec_col
-    )
+
+    def q_bucket_for(offset: int) -> int:
+        bucket = 0
+        for j in range(n_bits):
+            proj = sum(
+                _hyperplane_sign(j + offset, d) * query_vec[d] for d in range(dims)
+            )
+            bucket = bucket * 2 + (1 if proj > 0 else 0)
+        return bucket
+
+    cond = None
+    out = df
+    for band in range(bands):
+        col = hyperplane_bucket(F.col(vec_col), n_bits, dims, offset=band * n_bits)
+        this = col == q_bucket_for(band * n_bits)
+        cond = this if cond is None else (cond | this)
+    return brute_force_topk(out.where(cond), query_vec, k, id_col, vec_col)
 
 
 def assign_ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:

@@ -469,3 +469,26 @@ class TestScanInputBytes:
         assert _scan_input_bytes(df.groupBy("id").count()) == actual
         # no file relation at all (local range) -> unknown, never a job
         assert _scan_input_bytes(spark.range(5)) is None
+
+
+class TestMultibandLSH:
+    def test_bands1_matches_legacy_and_bands_widen_candidates(self, spark):
+        import pyspark.sql.functions as F
+        from solrizer_spark.operators.similarity import lsh_topk
+
+        import __spark_entry__ as em
+        emb = em._table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        one = lsh_topk(emb, q, k=5).collect()
+        one_again = lsh_topk(emb, q, k=5, bands=1).collect()
+        assert [(r.vec_id, r.cos_sim) for r in one] == [
+            (r.vec_id, r.cos_sim) for r in one_again
+        ]
+        # multiband probes a superset of candidates: its top-k scores
+        # dominate the single-band top-k pairwise
+        four = lsh_topk(emb, q, k=5, bands=4).collect()
+        assert len(four) >= len(one)
+        for r1, r4 in zip(one, four):
+            assert r4.cos_sim >= r1.cos_sim

@@ -116,6 +116,11 @@ def main() -> int:
             corpus.where(F.col("vec_id") != qid), qv, k=K
         ).collect()
     )
+    out["lsh_8bit_4band"] = run(
+        "lsh4", lambda qv, qid: lsh_topk(
+            corpus.where(F.col("vec_id") != qid), qv, k=K, bands=4
+        ).collect()
+    )
 
     cents = kmeans_fit(corpus, k=N_CLUSTERS, n_iter=3)
     out["kmeans_cells"] = len(cents)
