@@ -341,12 +341,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    spans = duplicate_spans(seeded, span_tokens=8)
+    # detection feeds BOTH the per-doc stats and removal: persist so
+    # the span hashing + count shuffle runs once (remove_duplicate_
+    # spans would otherwise rebuild the identical uncached subplan)
+    spans = duplicate_spans(seeded, span_tokens=8).persist()
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("is_keeper").cast("long")).alias("n_keeper_spans"),
     )
-    removed = remove_duplicate_spans(seeded, span_tokens=8)
+    removed = remove_duplicate_spans(seeded, span_tokens=8, spans=spans)
     return removed.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias(

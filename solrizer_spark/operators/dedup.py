@@ -996,6 +996,7 @@ def remove_duplicate_spans(
     span_tokens: int = 50,
     min_count: int = 2,
     keep: str = "first",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every token covered by a corpus-duplicated
     ``span_tokens``-token window, keeping the globally-first occurrence
@@ -1012,10 +1013,20 @@ def remove_duplicate_spans(
     flagged spans coalesce via the distinct, so a fully-boilerplate
     document costs at most ``span_tokens x`` its token count
     transiently in the covered-position explode, linear in span
-    length, never quadratic in document length."""
+    length, never quadratic in document length.
+
+    ``spans``: a precomputed (ideally persisted)
+    :func:`duplicate_spans` relation over the SAME ``df`` and
+    parameters. A caller that also reports detection stats would
+    otherwise pay the span hashing + count shuffle twice — Spark
+    does not reuse identical uncached subplans across two sinks."""
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    flagged = duplicate_spans(df, id_col, text_col, span_tokens, min_count)
+    flagged = (
+        spans
+        if spans is not None
+        else duplicate_spans(df, id_col, text_col, span_tokens, min_count)
+    )
     if keep == "first":
         flagged = flagged.where(~F.col("is_keeper"))
     covered = flagged.select(
