@@ -1876,6 +1876,56 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trafilatura-style page-metadata extraction (declared charset,
+    canonical URL, og:title, meta description, publication date) as
+    pure JVM ``regexp_extract`` — ``functions/html_meta.py``. Input:
+    ``documents`` wrapped as pages whose <head> carries deterministic
+    metadata derived from (doc_id, lang); the oracle re-derives the
+    ground truth analytically, so a misfiring extractor hash-fails.
+
+    The synthesis exercises the edge semantics: every 7th doc omits
+    the description (NULL, not ''), even docs carry BOTH an
+    ``article:published_time`` meta and a decoy ``<time datetime>``
+    (the cascade must prefer the meta), odd docs carry only the
+    ``<time>`` tag.
+    """
+    from solrizer_spark.functions.html_meta import page_metadata
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sid = F.col("doc_id").cast("string")
+    charset = F.element_at(
+        F.array(_L("utf-8"), _L("windows-1252"), _L("shift_jis"), _L("iso-8859-1")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    pub = F.format_string("2023-06-01T%02d:00:00", (F.col("doc_id") % 24).cast("int"))
+    desc_tag = F.when(F.col("doc_id") % 7 == 0, _L("")).otherwise(
+        F.concat(_L('<meta name="description" content="desc-'),
+                 F.col("lang"), _L("-"), sid, _L('">'))
+    )
+    pub_tags = F.when(
+        F.col("doc_id") % 2 == 0,
+        # meta carrier + decoy <time>: cascade precedence pinned
+        F.concat(
+            _L('<meta property="article:published_time" content="'),
+            pub, _L('+00:00">'),
+            _L('<time datetime="1999-01-01T00:00:00Z">decoy</time>'),
+        ),
+    ).otherwise(F.concat(_L('<time datetime="'), pub, _L('Z">then</time>')))
+    html = F.concat(
+        _L('<html><head><meta charset="'), charset, _L('">'),
+        _L('<meta property="og:title" content="Doc '), sid, _L('">'),
+        desc_tag,
+        _L('<link rel="canonical" href="https://corpus.example.org/canonical/'),
+        sid, _L('">'),
+        _L("</head><body><p>body</p>"), pub_tags, _L("</body></html>"),
+    )
+    meta = page_metadata(html)
+    return docs.select(
+        "doc_id", *(meta[name].alias(name) for name in sorted(meta))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_strip": q_extract_strip,
@@ -1925,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "importance_resample": q_importance_resample,
+        "html_metadata": q_html_metadata,
         "curate_chain": q_curate_chain,
         # bpe_tokens stays last per the standing rule that the most
         # exotic query goes at the END of this dict, so a harness
@@ -2761,6 +2812,21 @@ def _component_oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semdedup_oracle_sql(),
         "importance_resample": _dsir_oracle_sql(),
+        # ground truth derived analytically from (doc_id, lang) — the
+        # same rules q_html_metadata bakes into the synthesized <head>;
+        # a misfiring JVM regexp extractor hash-fails against this
+        "html_metadata": (
+            "SELECT doc_id, "
+            "'https://corpus.example.org/canonical/' || CAST(doc_id AS VARCHAR) AS canonical_url, "
+            "CASE (doc_id % 4) WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252' "
+            "WHEN 2 THEN 'shift_jis' ELSE 'iso-8859-1' END AS declared_charset, "
+            "CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "ELSE 'desc-' || lang || '-' || CAST(doc_id AS VARCHAR) END AS meta_description, "
+            "'Doc ' || CAST(doc_id AS VARCHAR) AS og_title, "
+            "printf('2023-06-01T%02d:00:00', CAST(doc_id % 24 AS INT)) || "
+            "CASE WHEN doc_id % 2 = 0 THEN '+00:00' ELSE 'Z' END AS published_time "
+            "FROM documents"
+        ),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "
             "(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 100) < "

@@ -235,16 +235,36 @@ def generate_page(
         html = ("\n".join(lines) + "\n").encode("utf-8")
         expected = " ".join(toks)
     else:
-        payload_class = "malformed"
-        failed = True
+        # class 9: payloads that are NOT valid UTF-8. Variant 0 stays a
+        # genuine failure (empty payload); variants 1-2 pin the charset
+        # rescue ladder (extraction/charset.py) end-to-end: a declared
+        # windows-1251 page recovered via the meta prescan, and
+        # undeclared cp1252 high bytes recovered via the WHATWG floor —
+        # both byte-exact against expectations computed from the same
+        # construction, so a mis-decode anywhere hash-fails.
         variant = i % 3
         if variant == 0:
+            payload_class = "malformed"
+            failed = True
             html = b""
+            expected = None
         elif variant == 1:
-            html = b"\xff\xfe\x00\x00<html>"
+            payload_class = "cp1251-declared"
+            line1 = "Привет мир " + _sentence(rng, rng.randrange(6, 10))
+            line2 = _sentence(rng, rng.randrange(6, 10))
+            html = (
+                '<html><meta charset="windows-1251">\n'
+                f"<p>{line1}</p>\n<p>{line2}</p>\n"
+            ).encode("windows-1251")
+            expected = f"\n{line1}\n{line2}\n"
         else:
-            html = b"<html><p>truncated \x80\x80"
-        expected = None
+            payload_class = "cp1252-undeclared"
+            line1 = f"Café {_words(rng, rng.randrange(5, 9))} — résumé"
+            line2 = _sentence(rng, rng.randrange(6, 10))
+            html = (
+                f"<html>\n<p>{line1}</p>\n<p>{line2}</p>\n"
+            ).encode("windows-1252")
+            expected = f"\n{line1}\n{line2}\n"
 
     page = {"url": url, "warc_ts": warc_ts.replace(tzinfo=None), "html": html, "text": text, "lang": lang}
     golden = {

@@ -28,6 +28,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
+from solrizer_spark.extraction.charset import decode_html_bytes
+
 __all__ = ["Block", "ExtractionResult", "extract_html", "get_text"]
 
 #: Elements whose start or end terminates the current text block.
@@ -119,6 +121,11 @@ class ExtractionResult:
     blocks: list[Block] = field(default_factory=list)
     parse_failed: bool = False
     error: str | None = None
+    #: how the binary payload was decoded ("utf-8" unless the charset
+    #: rescue engaged); str inputs keep the defaults
+    encoding: str = "utf-8"
+    #: "strict" | "bom" | "xml_decl" | "meta" | "fallback"
+    charset_source: str = "strict"
 
     @property
     def main_text(self) -> str:
@@ -399,14 +406,15 @@ def extract_html(payload: bytes | str | None, backend: str | None = None) -> Ext
     if isinstance(payload, bytes):
         if not payload:
             return ExtractionResult(None, None, parse_failed=True, error="empty_html")
-        try:
-            text = payload.decode("utf-8")
-        except UnicodeDecodeError:
-            return ExtractionResult(None, None, parse_failed=True, error="decode_error")
+        # strict UTF-8 first (reference-identical for every valid-UTF-8
+        # payload); non-UTF-8 pages are rescued by the charset sniffer
+        # instead of dropped as decode_error — see extraction/charset.py
+        text, encoding, charset_source = decode_html_bytes(payload)
     else:
         if not payload:
             return ExtractionResult(None, None, parse_failed=True, error="empty_html")
         text = payload
+        encoding, charset_source = "utf-8", "strict"
     run = _resolve_backend(backend or DEFAULT_BACKEND)
     try:
         state = run(text)
@@ -419,13 +427,16 @@ def extract_html(payload: bytes | str | None, backend: str | None = None) -> Ext
         raw_text="".join(state.raw_parts),
         title=title,
         blocks=blocks,
+        encoding=encoding,
+        charset_source=charset_source,
     )
 
 
 def get_text(payload: bytes | str) -> str:
     """Markup-strip only — the ``BeautifulSoup(...).get_text()``
-    equivalent (reference: extracted_text.py:107). Raises on
-    undecodable input, mirroring the reference's strict ``.decode()``.
+    equivalent (reference: extracted_text.py:107). Valid UTF-8 decodes
+    reference-identically; non-UTF-8 bytes go through the charset
+    rescue (extraction/charset.py) instead of raising.
     """
     result = extract_html(payload)
     if result.parse_failed:

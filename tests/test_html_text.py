@@ -49,10 +49,15 @@ def test_extract_title():
 
 
 def test_malformed_inputs_never_raise():
-    for payload in [None, b"", b"\xff\xfe\x00bad", ""]:
+    for payload in [None, b"", ""]:
         r = extract_html(payload)
         assert r.parse_failed
-        assert r.error in {"empty_html", "decode_error"}
+        assert r.error == "empty_html"
+    # non-UTF-8 bytes are no longer a failure: the charset rescue
+    # decodes them (here via the UTF-16 BOM) instead of dropping them
+    r = extract_html(b"\xff\xfe\x00bad")
+    assert not r.parse_failed
+    assert r.charset_source == "bom"
     # truncated markup parses tolerantly instead of failing
     r = extract_html(b"<html><p>unclosed <b>bold")
     assert not r.parse_failed

@@ -271,6 +271,15 @@ def main() -> int:
         f"bhj={p20.count('BroadcastHashJoin')}",
     )
 
+    # html_metadata: pure JVM regexp extraction — no Python crossing,
+    # no exchange (map-side select over the scan)
+    p21 = plan_of(em.q_html_metadata(spark, sf))
+    check(
+        "html_metadata_pure_jvm_no_shuffle",
+        "EvalPython" not in p21 and "Exchange" not in p21,
+        f"exchanges={p21.count('Exchange')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
