@@ -67,6 +67,7 @@ DOC_COLUMNS = [
     "bytes_in",
     "blocks_kept",
     "blocks_dropped",
+    "charset_source",
 ]
 
 

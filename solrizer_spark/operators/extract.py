@@ -61,6 +61,7 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("parse_failed", T.BooleanType()),
         T.StructField("error", T.StringType()),
         T.StructField("bytes_in", T.IntegerType()),
+        T.StructField("charset_source", T.StringType()),
     ]
 )
 
@@ -80,6 +81,10 @@ EXTRACT_FAST_TYPE = T.StructType(
         T.StructField("bytes_in", T.IntegerType()),
         T.StructField("blocks_kept", T.IntegerType()),
         T.StructField("blocks_dropped", T.IntegerType()),
+        #: how the html payload's bytes were decoded ("strict" | "bom"
+        #: | "xml_decl" | "meta" | "fallback"); NULL for routes that
+        #: never decode via the charset ladder (plain/tagged/pdf/failed)
+        T.StructField("charset_source", T.StringType()),
     ]
 )
 
@@ -92,6 +97,7 @@ _FAILED = {
     "parse_failed": True,
     "error": None,
     "bytes_in": 0,
+    "charset_source": None,
 }
 
 #: payload sniff window (bytes) for OCR-format markers
@@ -123,6 +129,7 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
                     "parse_failed": False,
                     "error": None,
                     "bytes_in": len(html),
+                    "charset_source": None,
                 }
             except UnrecognizedOCRFormatError:
                 pass  # not OCR after all → HTML route
@@ -144,6 +151,7 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
                 "parse_failed": False,
                 "error": None,
                 "bytes_in": len(html),
+                "charset_source": None,
             }
         result = extract_html(html)
         if result.parse_failed:
@@ -157,6 +165,7 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
             "parse_failed": False,
             "error": None,
             "bytes_in": len(html),
+            "charset_source": result.charset_source,
         }
     if text is not None:
         # plain-text passthrough, unaltered (extracted_text.py:109-111)
@@ -169,6 +178,7 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
             "parse_failed": False,
             "error": None,
             "bytes_in": len(text.encode("utf-8")),
+            "charset_source": None,
         }
     return {**_FAILED, "error": "empty_html"}
 
@@ -221,6 +231,7 @@ def make_extract_fast_udf(dpi: tuple[int, int] = (400, 400)):
             cols["bytes_in"].append(rec["bytes_in"])
             cols["blocks_kept"].append(kept)
             cols["blocks_dropped"].append(len(blocks) - kept)
+            cols["charset_source"].append(rec["charset_source"])
         return pd.DataFrame(cols)
 
     return extract_fast_udf
@@ -292,6 +303,7 @@ def extract_stage(
             .withColumn("is_tagged", e["route"] == F.lit("tagged"))
             .withColumn("blocks_kept", e["blocks_kept"])
             .withColumn("blocks_dropped", e["blocks_dropped"])
+            .withColumn("charset_source", e["charset_source"])
             .withColumn("extracted_text", e["extracted_text"])
             .drop("_ext")
         )
@@ -306,6 +318,7 @@ def extract_stage(
         .withColumn("parse_failed", e["parse_failed"])
         .withColumn("error", e["error"])
         .withColumn("bytes_in", e["bytes_in"])
+        .withColumn("charset_source", e["charset_source"])
         .withColumn("blocks", e["blocks"])
         .withColumn("is_tagged", e["route"] == F.lit("tagged"))
         .withColumn(

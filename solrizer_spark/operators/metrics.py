@@ -31,6 +31,14 @@ def build_metrics(docs: DataFrame, run_id: str) -> DataFrame:
             F.sum((F.col("route") == "plain").cast("long")).alias("n_plain"),
             F.sum((F.col("route") == "tagged").cast("long")).alias("n_tagged"),
             F.sum((F.col("route") == "pdf").cast("long")).alias("n_pdf"),
+            # pages whose bytes were NOT valid UTF-8 and were decoded
+            # via the charset rescue ladder (extraction/charset.py) —
+            # a first-class data-quality stat on a real web corpus
+            F.sum(
+                F.col("charset_source")
+                .isin("bom", "xml_decl", "meta", "fallback")
+                .cast("long")
+            ).alias("n_charset_rescued"),
             F.min("warc_ts").alias("min_warc_ts"),
             F.max("warc_ts").alias("max_warc_ts"),
         )

@@ -50,6 +50,26 @@ def test_parse_failures_flagged_not_fatal(joined):
     assert joined.where(F.col("parse_failed")).count() > 0
 
 
+def test_charset_rescue_surfaced(spark, job_output, joined):
+    """Rescued pages carry their decode source in the docs table and
+    roll up into the per-bucket n_charset_rescued metric."""
+    rescued = joined.where(
+        F.col("payload_class").isin("cp1251-declared", "cp1252-undeclared")
+    )
+    n_rescued = rescued.count()
+    assert n_rescued > 0
+    assert (
+        rescued.where(~F.col("charset_source").isin("meta", "fallback")).count()
+        == 0
+    )
+    # valid-UTF-8 html stays on the strict fast path
+    strict = joined.where(F.col("payload_class") == "boilerplate-html")
+    assert strict.where(F.col("charset_source") != "strict").count() == 0
+    out, _ = job_output
+    metrics = spark.read.parquet(out + "/metrics")
+    assert metrics.agg(F.sum("n_charset_rescued")).first()[0] == n_rescued
+
+
 def test_dps_txt_switch(joined):
     """Tagged payloads flip the field name (extracted_text.py:51-56)."""
     rows = joined.where(F.col("tagged")).select("doc").collect()
