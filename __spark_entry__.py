@@ -1885,7 +1885,8 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth analytically, so a misfiring extractor hash-fails.
 
     The synthesis exercises the edge semantics: every 7th doc omits
-    the description (NULL, not ''), even docs carry BOTH an
+    the description (NULL, not ''), every 3rd doc omits the ``<html
+    lang>`` attribute (NULL), even docs carry BOTH an
     ``article:published_time`` meta and a decoy ``<time datetime>``
     (the cascade must prefer the meta), odd docs carry only the
     ``<time>`` tag.
@@ -1912,8 +1913,11 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             _L('<time datetime="1999-01-01T00:00:00Z">decoy</time>'),
         ),
     ).otherwise(F.concat(_L('<time datetime="'), pub, _L('Z">then</time>')))
+    lang_attr = F.when(F.col("doc_id") % 3 == 0, _L("")).otherwise(
+        F.concat(_L(' lang="'), F.col("lang"), _L('"'))
+    )
     html = F.concat(
-        _L('<html><head><meta charset="'), charset, _L('">'),
+        _L("<html"), lang_attr, _L('><head><meta charset="'), charset, _L('">'),
         _L('<meta property="og:title" content="Doc '), sid, _L('">'),
         desc_tag,
         _L('<link rel="canonical" href="https://corpus.example.org/canonical/'),
@@ -2820,6 +2824,7 @@ def _component_oracle_sql() -> dict[str, str]:
             "'https://corpus.example.org/canonical/' || CAST(doc_id AS VARCHAR) AS canonical_url, "
             "CASE (doc_id % 4) WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252' "
             "WHEN 2 THEN 'shift_jis' ELSE 'iso-8859-1' END AS declared_charset, "
+            "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS declared_lang, "
             "CASE WHEN doc_id % 7 = 0 THEN NULL "
             "ELSE 'desc-' || lang || '-' || CAST(doc_id AS VARCHAR) END AS meta_description, "
             "'Doc ' || CAST(doc_id AS VARCHAR) AS og_title, "

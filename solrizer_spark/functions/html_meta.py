@@ -34,6 +34,7 @@ _PUBLISHED_META_PAT = (
     r"""<meta[^>]*?property\s*=\s*["']article:published_time["'][^>]*?content\s*=\s*["']([^"']+)["']"""
 )
 _TIME_DATETIME_PAT = r"""<time[^>]*?datetime\s*=\s*["']([^"']+)["']"""
+_HTML_LANG_PAT = r"""<html[^>]*?\slang\s*=\s*["']?([a-zA-Z][a-zA-Z0-9-]{1,34})"""
 
 
 def _nullify(col: Column) -> Column:
@@ -76,10 +77,18 @@ def published_time(html: Column) -> Column:
     return F.coalesce(meta, time_tag)
 
 
+def html_lang(html: Column) -> Column:
+    """BCP-47 tag declared on the ``<html lang=...>`` element,
+    lower-cased — the page's *claimed* language, to be reconciled with
+    content language-ID (``functions/text_stats.langid``) downstream."""
+    return _nullify(F.lower(F.regexp_extract(html, _HTML_LANG_PAT, 1)))
+
+
 def page_metadata(html: Column) -> dict[str, Column]:
     """All extractors as a name→Column dict, for select-splat use."""
     return {
         "declared_charset": meta_charset(html),
+        "declared_lang": html_lang(html),
         "canonical_url": canonical_url(html),
         "og_title": og_title(html),
         "meta_description": meta_description(html),

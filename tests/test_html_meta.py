@@ -57,6 +57,16 @@ def test_published_time_cascade(spark):
     assert _extract(spark, only_time)["published_time"] == "2021-12-31T23:00:00Z"
 
 
+def test_html_lang(spark):
+    assert (
+        _extract(spark, '<html lang="en-US"><body>x</body></html>')["declared_lang"]
+        == "en-us"
+    )
+    assert _extract(spark, "<html lang=fr><p>x</p>")["declared_lang"] == "fr"
+    # xml:lang alone is not the lang attribute; a bare <html> is a miss
+    assert _extract(spark, "<html><p>x</p></html>")["declared_lang"] is None
+
+
 def test_no_cross_tag_capture(spark):
     # a canonical-less link tag must not capture the href of a LATER
     # tag: [^>]*? cannot cross the tag close
