@@ -96,6 +96,12 @@ _XML_DECL = re.compile(
     rb"""^\s*<\?xml[^>]{0,256}?encoding\s*=\s*["']([a-zA-Z0-9._:-]{2,32})["']""",
     re.IGNORECASE,
 )
+# WHATWG's prescan SKIPS comments — a charset declaration inside
+# <!-- --> must not win. Closed comments are removed before the meta
+# search; an UNCLOSED comment truncates the scannable head (everything
+# after it is inside the comment as far as a streaming prescan knows).
+_COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
+_OPEN_COMMENT = re.compile(rb"<!--")
 
 
 def normalize_label(label: str) -> str | None:
@@ -117,6 +123,10 @@ def sniff_charset(payload: bytes) -> tuple[str | None, str]:
         # itself (and strips it), so one codec covers both marks
         return "utf-16", "bom"
     head = payload[:PRESCAN_BYTES]
+    head = _COMMENT.sub(b"", head)
+    m = _OPEN_COMMENT.search(head)
+    if m is not None:
+        head = head[: m.start()]
     m = _XML_DECL.match(head)
     if m is not None:
         codec = normalize_label(m.group(1).decode("ascii", "replace"))

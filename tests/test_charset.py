@@ -56,6 +56,24 @@ def test_unknown_label_and_none():
     assert normalize_label("nonsense") is None
 
 
+def test_commented_declaration_ignored():
+    # WHATWG prescan skips comments: a charset inside <!-- --> is inert
+    assert sniff_charset(b"<!-- <meta charset='koi8-r'> --><p>x</p>") == (
+        None,
+        "none",
+    )
+    # declaration AFTER a closed comment still wins
+    assert sniff_charset(b"<!-- hi --><meta charset='koi8-r'>") == (
+        "koi8-r",
+        "meta",
+    )
+    # unclosed comment swallows the rest of the head
+    assert sniff_charset(b"<!-- unclosed <meta charset='koi8-r'>") == (
+        None,
+        "none",
+    )
+
+
 def test_prescan_window_bounded():
     # declaration past the prescan window is ignored (bounded scan —
     # the kernel never regex-scans a 100 MB page head-to-tail)
@@ -108,6 +126,43 @@ def test_lying_declaration_falls_back():
     text, enc, src = decode_html_bytes(raw)
     assert src == "fallback"
     assert enc == "windows-1252"
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_decode_total_function(payload):
+    """decode_html_bytes is total: never raises, always returns str,
+    and reports strict exactly when the bytes are valid UTF-8."""
+    if not payload:
+        return
+    text, enc, src = decode_html_bytes(payload)
+    assert isinstance(text, str)
+    try:
+        payload.decode("utf-8")
+        valid_utf8 = True
+    except UnicodeDecodeError:
+        valid_utf8 = False
+    assert (src == "strict") == valid_utf8
+    if src == "strict":
+        assert text == payload.decode("utf-8")
+    if src == "fallback":
+        # the floor decode is lossless cp1252-with-replacement: same
+        # length in chars as bytes (cp1252 is single-byte)
+        assert len(text) == len(payload)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_sniff_total_function(payload):
+    codec, src = sniff_charset(payload)
+    assert src in ("bom", "xml_decl", "meta", "none")
+    assert (codec is None) == (src == "none")
 
 
 # ------------------------------------------------- end-to-end extraction
