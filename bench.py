@@ -204,6 +204,7 @@ def main() -> None:
         "substring_dedup": "n_tokens_dropped",
         "semantic_dedup": "cell",
         "importance_resample": "selected",
+        "html_metadata": "published_time",
     }
     for name in [
         "page_sequence",
@@ -241,6 +242,7 @@ def main() -> None:
         "inverted_postings",
         "tfidf_keywords",
         "keyword_search",
+        "html_metadata",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))
