@@ -144,29 +144,46 @@ def sniff_charset(payload: bytes) -> tuple[str | None, str]:
     return None, "none"
 
 
-def decode_html_bytes(payload: bytes) -> tuple[str, str, str]:
+def decode_html_bytes(
+    payload: bytes, http_charset: str | None = None
+) -> tuple[str, str, str]:
     """Decode a web payload; never raises.
 
     Returns ``(text, encoding, source)`` where ``source`` is
     ``"strict"`` (plain strict UTF-8 — the reference-identical fast
-    path), ``"bom"`` / ``"xml_decl"`` / ``"meta"`` (rescued via the
-    sniffer), or ``"fallback"`` (windows-1252 with replacement — cannot
-    fail). Strict UTF-8 is tried FIRST so every valid-UTF-8 payload —
-    including all reference fixtures — round-trips byte-identically to
-    the reference's own ``.decode()``.
+    path), ``"bom"`` / ``"http"`` / ``"xml_decl"`` / ``"meta"``
+    (rescued), or ``"fallback"`` (windows-1252 with replacement —
+    cannot fail). Strict UTF-8 is tried FIRST so every valid-UTF-8
+    payload — including all reference fixtures — round-trips
+    byte-identically to the reference's own ``.decode()``.
+
+    ``http_charset`` is the transport-layer label from the HTTP
+    ``Content-Type`` header (WARC ingest surfaces it as the
+    ``http_charset`` column). WHATWG precedence among the rescue
+    sources: BOM beats the header, the header beats the in-document
+    meta/xml declaration.
     """
     try:
         return payload.decode("utf-8"), "utf-8", "strict"
     except UnicodeDecodeError:
         pass
+    candidates: list[tuple[str, str]] = []
     codec, source = sniff_charset(payload)
-    if codec is not None and codec not in ("utf-8", "utf-8-sig"):
+    if codec is not None and source == "bom":
+        candidates.append((codec, source))
+    if http_charset:
+        header_codec = normalize_label(http_charset)
+        if header_codec is not None:
+            candidates.append((header_codec, "http"))
+    if codec is not None and source != "bom":
+        candidates.append((codec, source))
+    for cand, src in candidates:
+        if cand in ("utf-8", "utf-8-sig"):
+            # strict UTF-8 already failed; a utf-8-labeled candidate
+            # cannot succeed (utf-8-sig shares the body decoder)
+            continue
         try:
-            return payload.decode(codec), codec, source
+            return payload.decode(cand), cand, src
         except (UnicodeDecodeError, LookupError):
-            pass
-    elif codec == "utf-8-sig":
-        # BOM present but body is NOT valid UTF-8 (strict already
-        # failed) → fall through to the cp1252 floor
-        pass
+            continue  # lying label → next source down the ladder
     return payload.decode("windows-1252", errors="replace"), "windows-1252", "fallback"

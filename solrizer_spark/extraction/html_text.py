@@ -387,7 +387,11 @@ def _resolve_backend(backend: str):
     return run
 
 
-def extract_html(payload: bytes | str | None, backend: str | None = None) -> ExtractionResult:
+def extract_html(
+    payload: bytes | str | None,
+    backend: str | None = None,
+    http_charset: str | None = None,
+) -> ExtractionResult:
     """Parse one HTML payload into ``ExtractionResult``.
 
     Never raises on malformed input: it yields ``parse_failed=True``
@@ -409,7 +413,7 @@ def extract_html(payload: bytes | str | None, backend: str | None = None) -> Ext
         # strict UTF-8 first (reference-identical for every valid-UTF-8
         # payload); non-UTF-8 pages are rescued by the charset sniffer
         # instead of dropped as decode_error — see extraction/charset.py
-        text, encoding, charset_source = decode_html_bytes(payload)
+        text, encoding, charset_source = decode_html_bytes(payload, http_charset)
     else:
         if not payload:
             return ExtractionResult(None, None, parse_failed=True, error="empty_html")

@@ -105,7 +105,12 @@ _SNIFF = 4096
 _OCR_MARKERS = (b"<alto", b"ocrx_word", b"ocr_page")
 
 
-def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> dict:
+def _extract_one(
+    html: bytes | None,
+    text: str | None,
+    dpi: tuple[int, int],
+    http_charset: str | None = None,
+) -> dict:
     """Pure per-record kernel; the UDF maps this over Arrow batches."""
     if html is not None and len(html) > 0:
         head = html[:_SNIFF]
@@ -153,7 +158,7 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
                 "bytes_in": len(html),
                 "charset_source": None,
             }
-        result = extract_html(html)
+        result = extract_html(html, http_charset=http_charset)
         if result.parse_failed:
             return {**_FAILED, "error": result.error, "bytes_in": len(html)}
         return {
@@ -185,10 +190,17 @@ def _extract_one(html: bytes | None, text: str | None, dpi: tuple[int, int]) -> 
 
 def make_extract_udf(dpi: tuple[int, int] = (400, 400)):
     @pandas_udf(EXTRACT_TYPE)
-    def extract_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    def extract_udf(
+        html: pd.Series, text: pd.Series, http_charset: pd.Series
+    ) -> pd.DataFrame:
         out = [
-            _extract_one(h, t if isinstance(t, str) else None, dpi)
-            for h, t in zip(html, text)
+            _extract_one(
+                h,
+                t if isinstance(t, str) else None,
+                dpi,
+                c if isinstance(c, str) else None,
+            )
+            for h, t, c in zip(html, text, http_charset)
         ]
         return pd.DataFrame(out)
 
@@ -215,12 +227,19 @@ def _resolve_text(rec: dict) -> str | None:
 
 def make_extract_fast_udf(dpi: tuple[int, int] = (400, 400)):
     @pandas_udf(EXTRACT_FAST_TYPE)
-    def extract_fast_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    def extract_fast_udf(
+        html: pd.Series, text: pd.Series, http_charset: pd.Series
+    ) -> pd.DataFrame:
         # columnar accumulation: dict-of-lists beats list-of-dicts for
         # the pandas→Arrow hop
         cols: dict[str, list] = {f.name: [] for f in EXTRACT_FAST_TYPE.fields}
-        for h, t in zip(html, text):
-            rec = _extract_one(h, t if isinstance(t, str) else None, dpi)
+        for h, t, c in zip(html, text, http_charset):
+            rec = _extract_one(
+                h,
+                t if isinstance(t, str) else None,
+                dpi,
+                c if isinstance(c, str) else None,
+            )
             blocks = rec["blocks"] or []
             kept = sum(1 for b in blocks if b["kept"])
             cols["route"].append(rec["route"])
@@ -290,9 +309,18 @@ def extract_stage(
     array and assembles the text with Column expressions — same bytes
     (pinned by tests), ~9× slower boundary, for debugging/inspection.
     """
+    # transport-layer charset label (WARC ingest's http_charset column)
+    # feeds the decode ladder between BOM and in-document declarations;
+    # corpora without the column pass a typed NULL (zero-cost: the
+    # ladder only consults it after strict UTF-8 fails)
+    hint = (
+        F.col("http_charset")
+        if "http_charset" in df.columns
+        else F.lit(None).cast("string")
+    )
     if not include_blocks:
         fast = make_extract_fast_udf(dpi)
-        df = df.withColumn("_ext", fast(F.col("html"), F.col("text")))
+        df = df.withColumn("_ext", fast(F.col("html"), F.col("text"), hint))
         e = F.col("_ext")
         return (
             df.withColumn("route", e["route"])
@@ -308,7 +336,7 @@ def extract_stage(
             .drop("_ext")
         )
     ext = make_extract_udf(dpi)
-    df = df.withColumn("_ext", ext(F.col("html"), F.col("text")))
+    df = df.withColumn("_ext", ext(F.col("html"), F.col("text"), hint))
     e = F.col("_ext")
     n_kept = F.size(kept_blocks(e["blocks"]))
     n_blocks = F.size(e["blocks"])

@@ -52,6 +52,7 @@ WARC_PAGES_SCHEMA = T.StructType(
         T.StructField("warc_ts", T.TimestampType()),
         T.StructField("html", T.BinaryType()),
         T.StructField("content_type", T.StringType()),
+        T.StructField("http_charset", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("warc_record_id", T.StringType()),
         T.StructField("source_file", T.StringType()),
@@ -142,11 +143,17 @@ def _iter_records_plain(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         yield headers, block
 
 
-def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content_type, body) from an HTTP response message."""
+def _parse_http_response(
+    block: bytes,
+) -> tuple[int | None, str | None, str | None, bytes]:
+    """(status, content_type, charset, body) from an HTTP response
+    message. ``charset`` is the Content-Type parameter label verbatim
+    (lower-cased, unquoted) — the transport-layer declaration that
+    WHATWG ranks above the in-document meta prescan; the extraction
+    decode ladder consumes it via the ``http_charset`` column."""
     head, sep, body = block.partition(b"\r\n\r\n")
     if not sep:
-        return None, None, block
+        return None, None, None, block
     lines = head.split(_CRLF)
     status = None
     parts = lines[0].split()
@@ -157,7 +164,14 @@ def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
             status = None
     http_headers = _parse_headers(_CRLF.join(lines[1:]))
     ctype = http_headers.get("content-type")
-    return status, ctype.split(";")[0].strip() if ctype else None, body
+    charset = None
+    if ctype:
+        for param in ctype.split(";")[1:]:
+            k, _, v = param.partition("=")
+            if k.strip().lower() == "charset" and v.strip():
+                charset = v.strip().strip("\"'").lower()
+                break
+    return status, ctype.split(";")[0].strip() if ctype else None, charset, body
 
 
 def parse_warc(data: bytes, source_file: str = "") -> Iterator[dict]:
@@ -192,12 +206,13 @@ def parse_warc(data: bytes, source_file: str = "") -> Iterator[dict]:
                     )
                 except ValueError:
                     pass  # genuine garbage (month 13 etc.): tolerant null
-        status, ctype, body = _parse_http_response(block)
+        status, ctype, charset, body = _parse_http_response(block)
         yield {
             "url": url,
             "warc_ts": ts,
             "html": body if status is not None else None,
             "content_type": ctype,
+            "http_charset": charset,
             "http_status": status,
             "warc_record_id": rec_id,
             "source_file": source_file,
@@ -286,6 +301,9 @@ def warc_pages_projection(records: DataFrame) -> DataFrame:
         "html",
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+        # transport charset rides along for the extraction decode
+        # ladder (extract_stage consumes it when present)
+        "http_charset",
     )
 
 

@@ -128,6 +128,30 @@ def test_lying_declaration_falls_back():
     assert enc == "windows-1252"
 
 
+def test_http_header_precedence():
+    """WHATWG source order: BOM > HTTP header > in-document meta."""
+    # header beats a (lying) meta
+    body = "<meta charset='windows-1251'><p>日本</p>".encode("shift_jis")
+    text, enc, src = decode_html_bytes(body, http_charset="shift_jis")
+    assert (enc, src) == ("shift_jis", "http")
+    assert "日本" in text
+    # BOM beats the header
+    bom_body = "<p>wide</p>".encode("utf-16")
+    _, enc, src = decode_html_bytes(bom_body, http_charset="shift_jis")
+    assert (enc, src) == ("utf-16", "bom")
+    # strict UTF-8 never consults the header
+    _, enc, src = decode_html_bytes("é".encode(), http_charset="shift_jis")
+    assert src == "strict"
+    # lying header falls through to the meta declaration
+    ru = "<meta charset='windows-1251'><p>Привет</p>".encode("windows-1251")
+    bad = b"\x81\x39" + ru  # invalid shift_jis prefix
+    _, enc, src = decode_html_bytes(bad, http_charset="shift_jis")
+    assert src in ("meta", "fallback")  # header rejected, ladder continues
+    # unknown header label is ignored entirely
+    _, enc, src = decode_html_bytes(ru, http_charset="klingon-9")
+    assert (enc, src) == ("windows-1251", "meta")
+
+
 # ---------------------------------------------------------- properties
 
 from hypothesis import given, settings

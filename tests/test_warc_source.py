@@ -297,3 +297,45 @@ def test_stream_warc_incremental(spark, tmp_path):
         assert rows[f"https://warc.example.org/page/{i}?late=1"] == (
             f"Doc {i}warc body text {i}"
         )
+
+
+def test_http_charset_drives_extraction(spark, tmp_path):
+    """Transport-layer charset (Content-Type header) flows WARC →
+    pages projection → extraction decode ladder: a shift_jis body
+    with NO in-document declaration decodes via the header (WHATWG
+    precedence: BOM > HTTP header > meta prescan)."""
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.operators.extract import extract_stage
+    from solrizer_spark.sources.warc import read_warc, warc_pages_projection
+
+    body = "<html><body><p>日本語のページ</p></body></html>".encode("shift_jis")
+    # a decoy meta on a SECOND page pins precedence: header wins
+    decoy = (
+        '<html><meta charset="windows-1251"><body><p>日本語</p></body></html>'
+    ).encode("shift_jis")
+    path = str(tmp_path / "cs.warc")
+    write_warc(
+        [
+            {"url": "https://cs.example.org/plain", "ts": _ts(1), "body": body,
+             "content_type": "text/html; charset=Shift_JIS"},
+            {"url": "https://cs.example.org/decoy", "ts": _ts(2), "body": decoy,
+             "content_type": "text/html; charset=shift_jis"},
+            {"url": "https://cs.example.org/utf8", "ts": _ts(3),
+             "body": "<html><body><p>plain utf-8</p></body></html>".encode(),
+             "content_type": "text/html; charset=utf-8"},
+        ],
+        path,
+    )
+    records = read_warc(spark, path)
+    assert records.where(F.col("http_charset") == "shift_jis").count() == 2
+    pages = warc_pages_projection(records)
+    rows = {r["url"]: r for r in extract_stage(pages).collect()}
+    r1 = rows["https://cs.example.org/plain"]
+    assert not r1["parse_failed"] and r1["charset_source"] == "http"
+    assert "日本語のページ" in r1["extracted_text"]
+    r2 = rows["https://cs.example.org/decoy"]
+    assert r2["charset_source"] == "http"  # header beats the lying meta
+    assert "日本語" in r2["extracted_text"]
+    # valid UTF-8 never consults the header: strict fast path
+    assert rows["https://cs.example.org/utf8"]["charset_source"] == "strict"
