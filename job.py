@@ -68,6 +68,7 @@ DOC_COLUMNS = [
     "blocks_kept",
     "blocks_dropped",
     "charset_source",
+    "canonical_url",
 ]
 
 
@@ -191,6 +192,31 @@ def run_job(
         if (c == "pages" or c.startswith("iiif_")) and c not in keep
     ]
     docs = out.select(*keep)
+
+    if dedup == "canonical":
+        # rel=canonical dedup: collapse declared variants (mirrors /
+        # AMP / tracking urls) onto their canonical target BEFORE any
+        # content hashing — one shuffle on the canonical key; the
+        # canonical page itself wins when present, undeclared rows are
+        # self-canonical and pass through 1:1 (operators/dedup.py
+        # canonical_url_dedup is the aggregate form of this rule)
+        ckey = F.coalesce(F.col("canonical_url"), F.col("url"))
+        docs = (
+            docs.withColumn("_ck", ckey)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_ck").orderBy(
+                        F.when(F.col("url") == F.col("_ck"), F.lit(0))
+                        .otherwise(F.lit(1))
+                        .asc(),
+                        F.col("url").asc(),
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_ck", "_rn")
+        )
 
     if dedup == "exact":
         # post-extraction exact-content dedup: keep the minimum url per
@@ -336,8 +362,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument(
-        "--dedup", choices=["url", "exact", "near"], default=None,
-        help="url: keep earliest crawl per canonical url (pre-extraction); "
+        "--dedup", choices=["url", "canonical", "exact", "near"], default=None,
+        help="url: keep earliest crawl per normalized url (pre-extraction); "
+        "canonical: collapse declared rel=canonical variants onto their "
+        "target (post-extraction, pre-content-hash); "
         "exact: keep one doc per identical extracted_text (post-extraction); "
         "near: MinHash+LSH pairs -> connected components -> keep one doc "
         "per near-duplicate cluster (post-extraction)",

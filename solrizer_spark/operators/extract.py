@@ -22,6 +22,8 @@ Reference semantics re-expressed (src/solrizer/indexers/extracted_text.py):
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -62,6 +64,7 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("error", T.StringType()),
         T.StructField("bytes_in", T.IntegerType()),
         T.StructField("charset_source", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
     ]
 )
 
@@ -85,6 +88,9 @@ EXTRACT_FAST_TYPE = T.StructType(
         #: | "xml_decl" | "meta" | "fallback"); NULL for routes that
         #: never decode via the charset ladder (plain/tagged/pdf/failed)
         T.StructField("charset_source", T.StringType()),
+        #: declared <link rel=canonical> target (html route only) —
+        #: the key canonical_url_dedup groups on
+        T.StructField("canonical_url", T.StringType()),
     ]
 )
 
@@ -98,11 +104,28 @@ _FAILED = {
     "error": None,
     "bytes_in": 0,
     "charset_source": None,
+    "canonical_url": None,
 }
 
 #: payload sniff window (bytes) for OCR-format markers
 _SNIFF = 4096
 _OCR_MARKERS = (b"<alto", b"ocrx_word", b"ocr_page")
+
+#: rel=canonical target, scanned on the RAW bytes head (hrefs are
+#: ASCII on the real web; byte-level keeps it charset-independent and
+#: zero-cost beyond one bounded regex) — feeds canonical_url_dedup
+_CANONICAL_WINDOW = 8192
+_PY_CANONICAL = re.compile(
+    rb"""<link[^>]*?rel\s*=\s*["']canonical["'][^>]*?href\s*=\s*["']([^"']+)["']""",
+    re.IGNORECASE,
+)
+
+
+def _canonical_from_head(html: bytes) -> str | None:
+    m = _PY_CANONICAL.search(html[:_CANONICAL_WINDOW])
+    if m is None:
+        return None
+    return m.group(1).decode("latin-1")
 
 
 def _extract_one(
@@ -135,6 +158,7 @@ def _extract_one(
                     "error": None,
                     "bytes_in": len(html),
                     "charset_source": None,
+                    "canonical_url": None,
                 }
             except UnrecognizedOCRFormatError:
                 pass  # not OCR after all → HTML route
@@ -157,6 +181,7 @@ def _extract_one(
                 "error": None,
                 "bytes_in": len(html),
                 "charset_source": None,
+                "canonical_url": None,
             }
         result = extract_html(html, http_charset=http_charset)
         if result.parse_failed:
@@ -171,6 +196,7 @@ def _extract_one(
             "error": None,
             "bytes_in": len(html),
             "charset_source": result.charset_source,
+            "canonical_url": _canonical_from_head(html),
         }
     if text is not None:
         # plain-text passthrough, unaltered (extracted_text.py:109-111)
@@ -184,6 +210,7 @@ def _extract_one(
             "error": None,
             "bytes_in": len(text.encode("utf-8")),
             "charset_source": None,
+            "canonical_url": None,
         }
     return {**_FAILED, "error": "empty_html"}
 
@@ -251,6 +278,7 @@ def make_extract_fast_udf(dpi: tuple[int, int] = (400, 400)):
             cols["blocks_kept"].append(kept)
             cols["blocks_dropped"].append(len(blocks) - kept)
             cols["charset_source"].append(rec["charset_source"])
+            cols["canonical_url"].append(rec["canonical_url"])
         return pd.DataFrame(cols)
 
     return extract_fast_udf
@@ -332,6 +360,7 @@ def extract_stage(
             .withColumn("blocks_kept", e["blocks_kept"])
             .withColumn("blocks_dropped", e["blocks_dropped"])
             .withColumn("charset_source", e["charset_source"])
+            .withColumn("canonical_url", e["canonical_url"])
             .withColumn("extracted_text", e["extracted_text"])
             .drop("_ext")
         )
@@ -347,6 +376,7 @@ def extract_stage(
         .withColumn("error", e["error"])
         .withColumn("bytes_in", e["bytes_in"])
         .withColumn("charset_source", e["charset_source"])
+        .withColumn("canonical_url", e["canonical_url"])
         .withColumn("blocks", e["blocks"])
         .withColumn("is_tagged", e["route"] == F.lit("tagged"))
         .withColumn(

@@ -340,3 +340,34 @@ def test_job_detail_chain_config(spark, corpus_dir, tmp_path):
     pages, manifest_uri = row
     assert manifest_uri.startswith("https://iiif.example.edu/manifests/fcrepo:")
     assert pages[0]["page__label__txt"] == "[Page 1]"
+
+
+def test_job_canonical_dedup(spark, tmp_path):
+    """--dedup canonical collapses declared variants onto the canonical
+    page (kernel-extracted canonical_url drives the wave); undeclared
+    pages pass through."""
+    from datetime import datetime
+
+    rows = []
+    canon = '<link rel="canonical" href="https://a.com/page">'
+    bodies = {
+        "https://a.com/page": f"<html><head>{canon}</head><body><p>canonical page body</p></body></html>",
+        "https://a.com/page?utm=x": f"<html><head>{canon}</head><body><p>variant one body</p></body></html>",
+        "https://a.com/amp": f"<html><head>{canon}</head><body><p>variant two body</p></body></html>",
+        "https://c.com/solo": "<html><body><p>standalone page body</p></body></html>",
+    }
+    for i, (url, html) in enumerate(sorted(bodies.items())):
+        rows.append((url, datetime(2026, 4, 1, 12, 0, i), html.encode(), None, "en"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    src = str(tmp_path / "pages")
+    df.write.parquet(src)
+    out = str(tmp_path / "out")
+    stats = run_job(spark, src, out, n_buckets=4, dedup="canonical")
+    docs = spark.read.parquet(out + "/docs")
+    kept = {r["url"] for r in docs.collect()}
+    assert kept == {"https://a.com/page", "https://c.com/solo"}
+    # the canonical target column round-trips to the sink
+    row = docs.where(F.col("url") == "https://a.com/page").first()
+    assert row["canonical_url"] == "https://a.com/page"
