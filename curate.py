@@ -23,6 +23,10 @@ Ops (applied in the order given):
 * ``langs``       keep docs whose langid is in --langs
 * ``linededup``   corpus-wide repeated-line removal (C4 rule); docs
                   left with no lines are dropped
+* ``canonicaldedup``  collapse declared rel=canonical variants onto
+                  their target (needs the kernel-extracted
+                  ``canonical_url`` column; the cheapest dedup wave —
+                  run it before content hashing)
 * ``exactdedup``  keep one doc per identical text (minimum id)
 * ``neardedup``   MinHash-LSH pairs → connected components → keep
                   each cluster's minimum-id doc
@@ -62,8 +66,8 @@ from solrizer_spark.session import get_spark
 
 KNOWN_OPS = (
     "normalize", "quality", "fluency", "langs", "linededup", "substrdedup",
-    "exactdedup", "neardedup", "basededup", "decontaminate", "scrub", "mix",
-    "dsir", "chunk",
+    "canonicaldedup", "exactdedup", "neardedup", "basededup", "decontaminate",
+    "scrub", "mix", "dsir", "chunk",
 )
 
 
@@ -116,6 +120,27 @@ def apply_op(
             df.drop(text_col)
             .join(cleaned.select(id_col, "cleaned_text"), id_col)
             .withColumnRenamed("cleaned_text", text_col)
+        )
+    if op == "canonicaldedup":
+        # rel=canonical variants collapse onto their declared target
+        # (job.py --dedup canonical, composable here when the input
+        # carries the kernel-extracted canonical_url column)
+        if "canonical_url" not in df.columns:
+            raise SystemExit(
+                "canonicaldedup needs a canonical_url column (extraction "
+                "emits it; re-run the job or drop the op)"
+            )
+        ckey = F.coalesce(F.col("canonical_url"), F.col(id_col).cast("string"))
+        w = Window.partitionBy(ckey).orderBy(
+            F.when(F.col(id_col).cast("string") == ckey, F.lit(0))
+            .otherwise(F.lit(1))
+            .asc(),
+            F.col(id_col).asc(),
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
     if op == "exactdedup":
         # null-text rows must not collapse into one "duplicate" group:

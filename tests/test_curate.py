@@ -278,3 +278,32 @@ def test_curate_dsir(spark, docs_table, tmp_path):
     kept = spark.read.parquet(out)
     assert kept.count() == 3
     assert set(kept.columns) == {"doc_id", "text", "lang"}
+
+
+def test_curate_canonicaldedup(spark, tmp_path):
+    from curate import run_curate
+
+    rows = [
+        ("https://a.com/page", "canonical body text one", "https://a.com/page"),
+        ("https://a.com/page?utm=x", "variant body text two", "https://a.com/page"),
+        ("https://c.com/solo", "standalone body text", None),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "url string, text string, canonical_url string"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated")
+    stats = run_curate(
+        spark, _args(input=src, output=out, ops="canonicaldedup",
+                     id_col="url", text_col="text")
+    )
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"https://a.com/page", "https://c.com/solo"}
+    assert stats["ops"][0]["rows_after"] == 2
+
+    # missing column fails loudly, not silently
+    src2 = str(tmp_path / "docs2")
+    spark.createDataFrame([("u1", "t")], "url string, text string").write.parquet(src2)
+    with pytest.raises(SystemExit, match="canonical_url"):
+        run_curate(spark, _args(input=src2, output=str(tmp_path / "c2"),
+                                ops="canonicaldedup", id_col="url", text_col="text"))
