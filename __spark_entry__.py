@@ -1916,9 +1916,13 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_attr = F.when(F.col("doc_id") % 3 == 0, _L("")).otherwise(
         F.concat(_L(' lang="'), F.col("lang"), _L('"'))
     )
+    robots_tag = F.when(
+        F.col("doc_id") % 5 == 0, _L('<meta name="robots" content="noindex, nofollow">')
+    ).otherwise(_L(""))
     html = F.concat(
         _L("<html"), lang_attr, _L('><head><meta charset="'), charset, _L('">'),
         _L('<meta property="og:title" content="Doc '), sid, _L('">'),
+        robots_tag,
         desc_tag,
         _L('<link rel="canonical" href="https://corpus.example.org/canonical/'),
         sid, _L('">'),
@@ -2827,6 +2831,7 @@ def _component_oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS declared_lang, "
             "CASE WHEN doc_id % 7 = 0 THEN NULL "
             "ELSE 'desc-' || lang || '-' || CAST(doc_id AS VARCHAR) END AS meta_description, "
+            "CASE WHEN doc_id % 5 = 0 THEN 'noindex, nofollow' ELSE NULL END AS meta_robots, "
             "'Doc ' || CAST(doc_id AS VARCHAR) AS og_title, "
             "printf('2023-06-01T%02d:00:00', CAST(doc_id % 24 AS INT)) || "
             "CASE WHEN doc_id % 2 = 0 THEN '+00:00' ELSE 'Z' END AS published_time "

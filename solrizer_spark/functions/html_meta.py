@@ -35,6 +35,7 @@ _PUBLISHED_META_PAT = (
 )
 _TIME_DATETIME_PAT = r"""<time[^>]*?datetime\s*=\s*["']([^"']+)["']"""
 _HTML_LANG_PAT = r"""<html[^>]*?\slang\s*=\s*["']?([a-zA-Z][a-zA-Z0-9-]{1,34})"""
+_ROBOTS_PAT = r"""<meta[^>]*?name\s*=\s*["']robots["'][^>]*?content\s*=\s*["']([^"']*)["']"""
 
 
 def _nullify(col: Column) -> Column:
@@ -84,6 +85,22 @@ def html_lang(html: Column) -> Column:
     return _nullify(F.lower(F.regexp_extract(html, _HTML_LANG_PAT, 1)))
 
 
+def meta_robots(html: Column) -> Column:
+    """``<meta name="robots">`` directives, lower-cased (noindex /
+    nofollow / none...) — a crawl-and-curation signal: pages declaring
+    noindex are frequently login walls, search results, or staging
+    junk a training pipeline wants to downweight or drop."""
+    return _nullify(F.lower(F.regexp_extract(html, _ROBOTS_PAT, 1)))
+
+
+def is_noindex(html: Column) -> Column:
+    """True when the robots meta declares noindex or none."""
+    robots = meta_robots(html)
+    return F.coalesce(
+        robots.rlike(r"(^|[,\s])(noindex|none)([,\s]|$)"), F.lit(False)
+    )
+
+
 def page_metadata(html: Column) -> dict[str, Column]:
     """All extractors as a name→Column dict, for select-splat use."""
     return {
@@ -93,4 +110,5 @@ def page_metadata(html: Column) -> dict[str, Column]:
         "og_title": og_title(html),
         "meta_description": meta_description(html),
         "published_time": published_time(html),
+        "meta_robots": meta_robots(html),
     }

@@ -67,6 +67,25 @@ def test_html_lang(spark):
     assert _extract(spark, "<html><p>x</p></html>")["declared_lang"] is None
 
 
+def test_meta_robots_and_noindex(spark):
+    from solrizer_spark.functions.html_meta import is_noindex
+
+    got = _extract(spark, '<meta name="robots" content="NOINDEX, nofollow">')
+    assert got["meta_robots"] == "noindex, nofollow"
+    df = spark.createDataFrame(
+        [
+            ('<meta name="robots" content="noindex">',),
+            ('<meta name="robots" content="none">',),
+            ('<meta name="robots" content="nofollow">',),  # follow-only: indexable
+            ('<meta name="robots" content="noindexing-is-fun">',),  # no token match
+            ("<p>no robots meta at all</p>",),
+        ],
+        "html string",
+    )
+    flags = [r[0] for r in df.select(is_noindex(F.col("html"))).collect()]
+    assert flags == [True, True, False, False, False]
+
+
 def test_no_cross_tag_capture(spark):
     # a canonical-less link tag must not capture the href of a LATER
     # tag: [^>]*? cannot cross the tag close
