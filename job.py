@@ -69,6 +69,7 @@ DOC_COLUMNS = [
     "blocks_dropped",
     "charset_source",
     "canonical_url",
+    "is_noindex",
 ]
 
 

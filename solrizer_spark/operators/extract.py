@@ -65,6 +65,7 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("bytes_in", T.IntegerType()),
         T.StructField("charset_source", T.StringType()),
         T.StructField("canonical_url", T.StringType()),
+        T.StructField("is_noindex", T.BooleanType()),
     ]
 )
 
@@ -91,6 +92,8 @@ EXTRACT_FAST_TYPE = T.StructType(
         #: declared <link rel=canonical> target (html route only) —
         #: the key canonical_url_dedup groups on
         T.StructField("canonical_url", T.StringType()),
+        #: robots-meta noindex/none declared (html route; False elsewhere)
+        T.StructField("is_noindex", T.BooleanType()),
     ]
 )
 
@@ -105,6 +108,7 @@ _FAILED = {
     "bytes_in": 0,
     "charset_source": None,
     "canonical_url": None,
+    "is_noindex": False,
 }
 
 #: payload sniff window (bytes) for OCR-format markers
@@ -126,6 +130,20 @@ def _canonical_from_head(html: bytes) -> str | None:
     if m is None:
         return None
     return m.group(1).decode("latin-1")
+
+
+#: robots-meta noindex/none declaration, same bounded byte-level scan
+#: (functions/html_meta.is_noindex is the Column form for decoded text)
+_PY_ROBOTS = re.compile(
+    rb"""<meta[^>]*?name\s*=\s*["']robots["'][^>]*?content\s*=\s*["']([^"']*)["']""",
+    re.IGNORECASE,
+)
+_NOINDEX_TOKEN = re.compile(rb"(^|[,\s])(noindex|none)([,\s]|$)", re.IGNORECASE)
+
+
+def _noindex_from_head(html: bytes) -> bool:
+    m = _PY_ROBOTS.search(html[:_CANONICAL_WINDOW])
+    return bool(m and _NOINDEX_TOKEN.search(m.group(1)))
 
 
 def _extract_one(
@@ -159,6 +177,7 @@ def _extract_one(
                     "bytes_in": len(html),
                     "charset_source": None,
                     "canonical_url": None,
+                    "is_noindex": False,
                 }
             except UnrecognizedOCRFormatError:
                 pass  # not OCR after all → HTML route
@@ -182,6 +201,7 @@ def _extract_one(
                 "bytes_in": len(html),
                 "charset_source": None,
                 "canonical_url": None,
+                "is_noindex": False,
             }
         result = extract_html(html, http_charset=http_charset)
         if result.parse_failed:
@@ -197,6 +217,7 @@ def _extract_one(
             "bytes_in": len(html),
             "charset_source": result.charset_source,
             "canonical_url": _canonical_from_head(html),
+            "is_noindex": _noindex_from_head(html),
         }
     if text is not None:
         # plain-text passthrough, unaltered (extracted_text.py:109-111)
@@ -211,6 +232,7 @@ def _extract_one(
             "bytes_in": len(text.encode("utf-8")),
             "charset_source": None,
             "canonical_url": None,
+            "is_noindex": False,
         }
     return {**_FAILED, "error": "empty_html"}
 
@@ -279,6 +301,7 @@ def make_extract_fast_udf(dpi: tuple[int, int] = (400, 400)):
             cols["blocks_dropped"].append(len(blocks) - kept)
             cols["charset_source"].append(rec["charset_source"])
             cols["canonical_url"].append(rec["canonical_url"])
+            cols["is_noindex"].append(rec["is_noindex"])
         return pd.DataFrame(cols)
 
     return extract_fast_udf
@@ -361,6 +384,7 @@ def extract_stage(
             .withColumn("blocks_dropped", e["blocks_dropped"])
             .withColumn("charset_source", e["charset_source"])
             .withColumn("canonical_url", e["canonical_url"])
+            .withColumn("is_noindex", e["is_noindex"])
             .withColumn("extracted_text", e["extracted_text"])
             .drop("_ext")
         )
@@ -377,6 +401,7 @@ def extract_stage(
         .withColumn("bytes_in", e["bytes_in"])
         .withColumn("charset_source", e["charset_source"])
         .withColumn("canonical_url", e["canonical_url"])
+        .withColumn("is_noindex", e["is_noindex"])
         .withColumn("blocks", e["blocks"])
         .withColumn("is_tagged", e["route"] == F.lit("tagged"))
         .withColumn(

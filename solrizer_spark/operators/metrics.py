@@ -39,6 +39,9 @@ def build_metrics(docs: DataFrame, run_id: str) -> DataFrame:
                 .isin("bom", "xml_decl", "meta", "fallback")
                 .cast("long")
             ).alias("n_charset_rescued"),
+            # robots-meta noindex/none pages: retained in the sink
+            # (curation decides), but counted — a junk-rate signal
+            F.sum(F.col("is_noindex").cast("long")).alias("n_noindex"),
             F.min("warc_ts").alias("min_warc_ts"),
             F.max("warc_ts").alias("max_warc_ts"),
         )

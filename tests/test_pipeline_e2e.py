@@ -371,3 +371,31 @@ def test_job_canonical_dedup(spark, tmp_path):
     # the canonical target column round-trips to the sink
     row = docs.where(F.col("url") == "https://a.com/page").first()
     assert row["canonical_url"] == "https://a.com/page"
+
+
+def test_noindex_flag_surfaced(spark, tmp_path):
+    """Kernel-scanned robots noindex flag rides docs + metrics; pages
+    are retained (curation decides), only counted."""
+    from datetime import datetime
+
+    robots = '<meta name="robots" content="noindex, nofollow">'
+    rows = [
+        ("https://n.com/hidden", datetime(2026, 4, 2, 12, 0, 0),
+         f"<html><head>{robots}</head><body><p>login wall body</p></body></html>".encode(),
+         None, "en"),
+        ("https://n.com/open", datetime(2026, 4, 2, 12, 0, 1),
+         "<html><body><p>open page body</p></body></html>".encode(), None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    src_dir = str(tmp_path / "pages")
+    df.write.parquet(src_dir)
+    out = str(tmp_path / "out")
+    run_job(spark, src_dir, out, n_buckets=2)
+    docs = {r["url"]: r for r in spark.read.parquet(out + "/docs").collect()}
+    assert len(docs) == 2  # noindex retained, not dropped
+    assert docs["https://n.com/hidden"]["is_noindex"] is True
+    assert docs["https://n.com/open"]["is_noindex"] is False
+    metrics = spark.read.parquet(out + "/metrics")
+    assert metrics.agg(F.sum("n_noindex")).first()[0] == 1
