@@ -231,3 +231,30 @@ def test_sitemap_locs_and_lastmods(spark):
     # pure JVM: no Python in the plan
     plan = df.select(sitemap_locs("body"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_sitemap_frontier_composition(spark):
+    """Sitemap discovery feeds the scheduler: robots Sitemap field →
+    sitemap <loc> targets → anti-join the already-crawled set →
+    fetch_schedule over the new frontier."""
+    from pyspark.sql import functions as F
+
+    from solrizer_spark.functions.urls import parse_sitemaps, sitemap_locs
+
+    robots_body = "User-agent: *\nDisallow: /tmp\nSitemap: https://a.com/sitemap.xml"
+    assert parse_sitemaps(robots_body) == ["https://a.com/sitemap.xml"]
+    sitemap_xml = (
+        "<urlset>"
+        + "".join(f"<url><loc>https://a.com/p{i}</loc></url>" for i in range(6))
+        + "</urlset>"
+    )
+    feeds = spark.createDataFrame([(sitemap_xml,)], "body string")
+    frontier = feeds.select(F.explode(sitemap_locs("body")).alias("url"))
+    crawled = spark.createDataFrame(
+        [("https://a.com/p0",), ("https://a.com/p1",)], "url string"
+    )
+    fresh = frontier.join(crawled, "url", "left_anti")
+    out = fetch_schedule(fresh, per_slot=2, mode="exact").collect()
+    assert {r["url"] for r in out} == {f"https://a.com/p{i}" for i in range(2, 6)}
+    # 4 new urls on one host at 2/slot -> slots 0..1, politeness held
+    assert {r["slot"] for r in out} == {0, 1}
