@@ -211,7 +211,11 @@ def _extract_one(
             "raw_text": result.raw_text,
             "title": result.title,
             "tagged_text": None,
-            "blocks": [b.as_dict() for b in result.blocks],
+            # Block objects, not dicts: the fast path only counts
+            # kept/dropped and joins text, so the per-block as_dict()
+            # conversion is deferred to the detail UDF that actually
+            # serializes the struct column
+            "blocks": result.blocks,
             "parse_failed": False,
             "error": None,
             "bytes_in": len(html),
@@ -242,15 +246,17 @@ def make_extract_udf(dpi: tuple[int, int] = (400, 400)):
     def extract_udf(
         html: pd.Series, text: pd.Series, http_charset: pd.Series
     ) -> pd.DataFrame:
-        out = [
-            _extract_one(
+        out = []
+        for h, t, c in zip(html, text, http_charset):
+            rec = _extract_one(
                 h,
                 t if isinstance(t, str) else None,
                 dpi,
                 c if isinstance(c, str) else None,
             )
-            for h, t, c in zip(html, text, http_charset)
-        ]
+            if rec["blocks"] is not None:
+                rec = {**rec, "blocks": [b.as_dict() for b in rec["blocks"]]}
+            out.append(rec)
         return pd.DataFrame(out)
 
     return extract_udf
@@ -268,9 +274,9 @@ def _resolve_text(rec: dict) -> str | None:
     if route == "plain":
         return rec["raw_text"]
     blocks = rec["blocks"] or []
-    dropped = sum(1 for b in blocks if not b["kept"])
+    dropped = sum(1 for b in blocks if not b.kept)
     if dropped > 0:
-        return "\n".join(b["text"] for b in blocks if b["kept"])
+        return "\n".join(b.text for b in blocks if b.kept)
     return rec["raw_text"]
 
 
@@ -290,7 +296,7 @@ def make_extract_fast_udf(dpi: tuple[int, int] = (400, 400)):
                 c if isinstance(c, str) else None,
             )
             blocks = rec["blocks"] or []
-            kept = sum(1 for b in blocks if b["kept"])
+            kept = sum(1 for b in blocks if b.kept)
             cols["route"].append(rec["route"])
             cols["extracted_text"].append(_resolve_text(rec))
             cols["title"].append(rec["title"])

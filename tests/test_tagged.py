@@ -97,3 +97,25 @@ def test_ocr1_roundtrip():
 def test_page_index_threading():
     words = [OCRWord("w", 1, 2, 3, 4)]
     assert tagged_text(words, 7) == "w|n=7&xywh=1,2,3,4"
+
+
+def test_tagged_suffix_matches_urlencode_property():
+    """The inlined ``n={page}&xywh={x,y,w,h}`` suffix must equal the
+    reference's ``urlencode({...}, safe=',')`` for every int geometry
+    (extracted_text.py:114-119) — the encoder is the identity format
+    because digits, ``-`` and the exempted ``,`` are all URL-safe."""
+    from urllib.parse import urlencode
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    ints = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+    @given(ints, ints, ints, ints, st.integers(min_value=0, max_value=10**6))
+    def check(x, y, w, h, page):
+        word = OCRWord("t", x, y, w, h)
+        assert tagged_text([word], page) == (
+            f"t|{urlencode({'n': page, 'xywh': word.xywh}, safe=',')}"
+        )
+
+    check()
