@@ -1112,6 +1112,47 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: parquet side tables q_ann_pq (the 'pq' leg of the ann_topk
+#: composite) materializes: the trained PQ codebooks and the
+#: integer-quantized ADC lookup table. Training is iterative (not
+#: SQL-expressible; pinned by tests/test_pq.py), but encode + ADC +
+#: re-rank GIVEN the persisted doubles/ints are deterministic — the
+#: kmeans/BPE side-table pattern. The LUT is INTEGER-quantized
+#: (similarity.pq_lut), so the ADC shortlist sum is order-free and
+#: needs no float-fold parity discipline at all.
+PQ_CODEBOOK_ORACLE_PATH = f"{_ORACLE_RUN_DIR}/pq_codebook"
+PQ_LUT_ORACLE_PATH = f"{_ORACLE_RUN_DIR}/pq_lut"
+_PQ_M, _PQ_K = 8, 16
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ scale path (Jégou et al. 2011): train product-quantizer
+    codebooks in-engine (fused per-subspace Lloyd's, one distributed
+    pass per round), encode every vector to an m-byte code (pure
+    codegen), shortlist by integer-LUT asymmetric distance
+    (TakeOrdered), exact-cosine re-rank to the final top-10."""
+    from solrizer_spark.operators.similarity import pq_lut, pq_topk, pq_train
+    from solrizer_spark.session import local_df
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, n_iter=3)
+    rows = [
+        (j, c, p, w)
+        for j, book in enumerate(books)
+        for c, cw in enumerate(book)
+        for p, w in enumerate(cw)
+    ]
+    local_df(spark, rows, "sub int, cell int, pos int, w double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(PQ_CODEBOOK_ORACLE_PATH)
+    lut = pq_lut(_QUERY_VEC, books)
+    lrows = [(j, c, int(v)) for j, row in enumerate(lut) for c, v in enumerate(row)]
+    local_df(spark, lrows, "sub int, cell int, lutq bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(PQ_LUT_ORACLE_PATH)
+    return pq_topk(emb, _QUERY_VEC, books, k=10, shortlist=64)
+
+
 #: parquet side table q_bpe_tokens materializes for its oracle: the
 #: oracle re-derives every doc's token stream FROM THE LEARNED MERGES
 #: (recursive CTE), so tokenization is value-checked, not rows-only
@@ -1710,8 +1751,8 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union of the three ANN strategies (brute force /
-    hyperplane LSH / IVF) for the same query vector."""
+    """Tagged union of the four ANN strategies (brute force /
+    hyperplane LSH / IVF / IVF-PQ) for the same query vector."""
     a = q_ann_bruteforce(spark, sf_dir).select(
         _L("brute").alias("stage"), "vec_id", "cos_sim"
     )
@@ -1721,7 +1762,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = q_ann_ivf(spark, sf_dir).select(
         _L("ivf").alias("stage"), "vec_id", "cos_sim"
     )
-    return a.unionByName(b).unionByName(c)
+    d = q_ann_pq(spark, sf_dir).select(
+        _L("pq").alias("stage"), "vec_id", "cos_sim"
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2135,6 +2179,40 @@ def _query_bucket(qvec: list[float], n_bits: int) -> int:
         proj = sum(_hyperplane_sign_sql(j, d) * qvec[d] for d in range(dims))
         out = out * 2 + (1 if proj > 0 else 0)
     return out
+
+
+def _pq_oracle_sql() -> str:
+    """IVF-PQ leg oracle from the persisted side tables: re-derive
+    every vector's PQ code from the codebook doubles (per-subspace
+    L2 argmin with the exact ``|c|² − 2·x·c`` left-fold term order of
+    similarity._pq_dists; ties → lowest cell, matching the
+    first-minimal array_position), sum the INTEGER LUT over the code
+    (order-free — no float-fold discipline needed), shortlist the 64
+    best by (adist, vec_id), exact-cosine re-rank to top-10."""
+    ds = 64 // _PQ_M
+    normc = " + ".join(f"(c[{p+1}] * c[{p+1}])" for p in range(ds))
+    dotc = " + ".join(
+        f"(CAST(embedding[(sub * {ds}) + {p+1}] AS DOUBLE) * c[{p+1}])"
+        for p in range(ds)
+    )
+    d_expr = f"(({normc}) - (2.0 * ({dotc})))"
+    return (
+        "WITH cb AS (SELECT sub, cell, list(w ORDER BY pos) AS c FROM "
+        f"read_parquet('{PQ_CODEBOOK_ORACLE_PATH}/*.parquet') GROUP BY sub, cell), "
+        f"pdists AS (SELECT vec_id, sub, cell, {d_expr} AS d "
+        "FROM embeddings CROSS JOIN cb), "
+        "codes AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, "
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cell ASC) "
+        "AS rn FROM pdists) WHERE rn = 1), "
+        "adist AS (SELECT codes.vec_id, SUM(l.lutq) AS a FROM codes "
+        f"JOIN read_parquet('{PQ_LUT_ORACLE_PATH}/*.parquet') l "
+        "USING (sub, cell) GROUP BY codes.vec_id), "
+        "short AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER "
+        "(ORDER BY a ASC, vec_id ASC) AS rn FROM adist) WHERE rn <= 64) "
+        f"SELECT vec_id, round({_cos_sql(_QUERY_VEC)}, 6) AS cos_sim "
+        "FROM embeddings JOIN short USING (vec_id) "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    )
 
 
 def _ivf_oracle_sql() -> str:
@@ -3273,10 +3351,12 @@ def _compose_oracles(base: dict[str, str]) -> dict[str, str]:
     al = out.pop("ann_lsh")
     ai = out.pop("ann_ivf")
     out["ann_topk"] = (
-        f"WITH cab AS ({ab}), cal AS ({al}), cai AS ({ai}) "
+        f"WITH cab AS ({ab}), cal AS ({al}), cai AS ({ai}), "
+        f"cpq AS ({_pq_oracle_sql()}) "
         "SELECT 'brute' AS stage, vec_id, cos_sim FROM cab "
         "UNION ALL SELECT 'lsh', vec_id, cos_sim FROM cal "
-        "UNION ALL SELECT 'ivf', vec_id, cos_sim FROM cai"
+        "UNION ALL SELECT 'ivf', vec_id, cos_sim FROM cai "
+        "UNION ALL SELECT 'pq', vec_id, cos_sim FROM cpq"
     )
 
     un = out.pop("url_normalize")

@@ -156,6 +156,7 @@ def main() -> None:
         "media_features", "domain_stats", "fetch_schedule", "lm_score",
         "lm_backoff", "anchors", "crawl_delay_schedule",
         "inverted_postings", "tfidf_keywords", "keyword_search",
+        "ann_pq",
     ):
         qs.setdefault(comp, getattr(em, f"q_{comp}"))
     # Iterative queries (connected components) run real Spark jobs at
@@ -177,7 +178,7 @@ def main() -> None:
     # timed run, same rule as bpe_tokens' merge learning
     iterative = {
         "dedup_clusters", "pagerank", "bpe_tokens",
-        "semantic_dedup", "importance_resample",
+        "semantic_dedup", "importance_resample", "ann_pq",
     }
     # pure-projection queries: count(lit(1)) lets Catalyst prune the
     # projected expressions entirely (even the Arrow UDF stage), so the
@@ -243,6 +244,7 @@ def main() -> None:
         "tfidf_keywords",
         "keyword_search",
         "html_metadata",
+        "ann_pq",
     ]:
         runs = []
         counted = F.count(F.col(force_col[name])) if name in force_col else F.count(F.lit(1))

@@ -539,3 +539,234 @@ def semantic_dedup(
             F.col("_dup_id").isNotNull().alias("semantic_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (IVF-PQ scale path)
+# --------------------------------------------------------------------------
+
+def _pq_subvec(vec: Column, sub: int, ds: int) -> Column:
+    """Subspace slice ``sub`` of width ``ds`` (1-based F.slice)."""
+    return F.slice(vec, sub * ds + 1, ds)
+
+
+def _pq_dists(subvec: Column, codebook: list[list[float]]) -> Column:
+    """Array of per-centroid L2 scores ``|c|² − 2·x·c`` (the
+    ``|x|²`` term is constant across centroids, so argmin is
+    unchanged and the plan carries half the terms). ``|c|²`` is
+    evaluated in PYTHON with the same left-assoc fold the SQL oracle
+    chains, so both engines embed bit-identical literals — the
+    assign_ivf_cell_sim parity discipline."""
+    return F.array(
+        *[
+            F.lit(float(sum(v * v for v in c)))
+            - 2.0 * dot(subvec, F.array(*[F.lit(float(v)) for v in c]))
+            for c in codebook
+        ]
+    )
+
+
+def pq_assign_cell(subvec: Column, codebook: list[list[float]]) -> Column:
+    """Nearest-codeword index for one subspace (lowest L2; ties →
+    LOWEST index via first-minimal ``array_position``, matching the
+    oracle's ``ORDER BY d ASC, cell ASC``). Pure codegen — the
+    codebook is a plan-time literal (k·ds terms per subspace; the
+    documented large-k escape hatch is a per-subspace broadcast join,
+    the :func:`assign_cells_join` shape)."""
+    d = _pq_dists(subvec, codebook)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``out_col: array<int>`` — the PQ code (one codeword index
+    per subspace). Map-side literal expressions, zero shuffle, zero
+    Python; at ``m=8, k=256`` the stored code is 8 bytes per vector
+    vs 256 bytes of float32 at dims=64 — the 32× compression that
+    lets a 10^12-vector ADC scan read codes only (column pruning
+    drops the raw vectors entirely)."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    return df.withColumn(
+        out_col,
+        F.array(
+            *[
+                pq_assign_cell(_pq_subvec(F.col(vec_col), j, ds), codebooks[j])
+                for j in range(m)
+            ]
+        ),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jégou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector
+    into ``m`` subspaces and run plain-L2 Lloyd's independently per
+    subspace — fused so every round is ONE distributed pass over the
+    input covering all ``m`` subspaces (an explode by subspace, not
+    ``m`` separate jobs).
+
+    Scale shape (the :func:`kmeans_fit` discipline): assignment is
+    pure-codegen literal expressions; the update shuffle carries at
+    most ``partitions × m × k × ds`` partially-aggregated rows (the
+    posexplode pre-aggregates map-side), and only ``m × k × ds``
+    floats ever reach the driver. Init is deterministic — the ``k``
+    vectors with the smallest ``xxhash64(id)``, sliced per subspace.
+    Empty cells keep their previous codeword. The input is persisted
+    for the duration of training unless the caller already did."""
+    from pyspark import StorageLevel
+
+    if dims is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("pq_train: empty input")
+        dims = row["d"]
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    ds = dims // m
+
+    already = df.storageLevel.useMemory or df.storageLevel.useDisk
+    if not already:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _pq_train_loop(df, m, k, ds, n_iter, id_col, vec_col)
+    finally:
+        if not already:
+            df.unpersist()
+
+
+def _pq_train_loop(
+    df: DataFrame, m: int, k: int, ds: int, n_iter: int, id_col: str, vec_col: str
+) -> list[list[list[float]]]:
+    seeds = (
+        df.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_id"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"pq_train: need at least k={k} rows, got {len(seeds)}")
+    books = [
+        [[float(x) for x in r["_v"][j * ds : (j + 1) * ds]] for r in seeds]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub"),
+                    pq_assign_cell(
+                        _pq_subvec(F.col(vec_col), j, ds), books[j]
+                    ).alias("cell"),
+                    _pq_subvec(F.col(vec_col), j, ds).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        stats = (
+            df.select(F.explode(entries).alias("e"))
+            .select("e.sub", "e.cell", F.posexplode("e.sv").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sums: dict[tuple[int, int], list[float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in stats:
+            key = (r["sub"], r["cell"])
+            sums.setdefault(key, [0.0] * ds)[r["pos"]] = r["s"]
+            counts[key] = r["n"]
+        books = [
+            [
+                [x / counts[(j, c)] for x in sums[(j, c)]]
+                if (j, c) in counts
+                else books[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]], scale: int = 1 << 20
+) -> list[list[int]]:
+    """Integer-quantized ADC lookup table: ``lut[sub][cell] =
+    round(‖q_sub − c‖² · scale)``. Quantizing the LUT (the FAISS
+    fast-scan trick, 8-bit there) makes the ADC distance an INTEGER
+    sum — associative and order-free — so the Spark fold and the SQL
+    ``SUM`` produce the exact same shortlist with no float-fold
+    parity discipline at all. At ``scale=2^20`` the rounding error
+    per subspace is ≤ 2⁻²¹ — invisible next to the quantization
+    error of PQ itself — and ``m`` terms stay far inside int64."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    return [
+        [
+            round(
+                sum(
+                    (query_vec[j * ds + p] - c[p]) ** 2 for p in range(ds)
+                )
+                * scale
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k with asymmetric distance (ADC) + exact re-rank:
+    encode every vector (pure codegen), approximate its distance to
+    the query as the integer-LUT sum over its code, TakeOrdered the
+    ``shortlist`` best (ties → lowest id), then exact-cosine re-rank
+    the shortlist to the final ``k``.
+
+    Scale: the ADC scan needs ONLY the code column (m bytes/vector —
+    at 10^12 vectors the codes are a stored column and the raw
+    vectors never leave the lake); both cuts are TakeOrdered, never a
+    full sort; the exact re-rank touches ``shortlist`` vectors."""
+    m = len(codebooks)
+    lut = pq_lut(query_vec, codebooks)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    coded = pq_encode(df, codebooks, vec_col=vec_col, out_col="_code")
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("_code"),
+            lut_lit,
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        coded.withColumn("_adist", adist)
+        .orderBy(F.col("_adist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return brute_force_topk(short, query_vec, k, id_col, vec_col)

@@ -164,10 +164,29 @@ def main() -> int:
     out["ivf_stored_nprobe2"] = run("ivf_stored", stored_probe)
     celled.unpersist()
 
+    # IVF-PQ: m=8 × k=16 codebooks trained in-engine, 8-byte codes,
+    # integer-LUT ADC shortlist (4·K) + exact re-rank — the
+    # compressed-domain scan for when even one float column per
+    # vector is too much I/O at 10^12 scale
+    from solrizer_spark.operators.similarity import pq_topk, pq_train
+
+    t0 = time.monotonic()
+    books = pq_train(corpus, m=8, k=16, n_iter=3)
+    pq_train_wall = round(time.monotonic() - t0, 2)
+    out["pq_adc_rerank"] = run(
+        "pq",
+        lambda qv, qid: pq_topk(
+            corpus.where(F.col("vec_id") != qid), qv, books,
+            k=K, shortlist=4 * K,
+        ).collect(),
+    )
+    out["pq_adc_rerank"]["train_wall_sec"] = pq_train_wall
+
     r1, r2, r4 = (out[f"ivf_nprobe{p}"]["mean_recall_at_10"] for p in (1, 2, 4))
     assert r1 <= r2 <= r4, (r1, r2, r4)
     assert r4 >= 0.8, r4
     assert out["ivf_stored_nprobe2"]["mean_recall_at_10"] == r2
+    assert out["pq_adc_rerank"]["mean_recall_at_10"] >= 0.8, out["pq_adc_rerank"]
     out["pass"] = True
     print(json.dumps(out))
     spark.stop()

@@ -280,6 +280,30 @@ def main() -> int:
         f"exchanges={p21.count('Exchange')}",
     )
 
+    # PQ: encode is pure codegen (no Python, no exchange on the
+    # map side); the ADC shortlist and the exact re-rank are both
+    # TakeOrdered — never a global sort; no join at all in the scan
+    from solrizer_spark.operators.similarity import pq_encode, pq_topk
+
+    _books = [
+        [[((j * 31 + c * 7 + p) % 11 - 5) / 5.0 for p in range(8)] for c in range(16)]
+        for j in range(8)
+    ]
+    p22 = plan_of(pq_encode(emb, _books))
+    check(
+        "pq_encode_pure_codegen_no_shuffle",
+        "EvalPython" not in p22 and "Exchange" not in p22,
+        f"exchanges={p22.count('Exchange')}",
+    )
+    p23 = plan_of(pq_topk(emb, em._QUERY_VEC, _books, k=10, shortlist=64))
+    check(
+        "pq_adc_takeordered_no_python",
+        p23.count("TakeOrderedAndProject") == 2
+        and "EvalPython" not in p23
+        and "CartesianProduct" not in p23,
+        f"takeordered={p23.count('TakeOrderedAndProject')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
