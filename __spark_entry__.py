@@ -1711,9 +1711,44 @@ def q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u1.unionByName(u2).unionByName(u3)
 
 
+_TOKEN_BUDGET = 2_000
+_TOKEN_BUDGET_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing (sampling.token_budget_mix), both
+    modes over the same weights: ``approx`` = hash-threshold rate
+    min(1, target/tokens) (the 10^12 shape — no sorts), ``exact`` =
+    per-source running-sum cutoff (budget hit exactly)."""
+    from solrizer_spark.functions.text_stats import token_count
+    from solrizer_spark.operators.sampling import token_budget_mix
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("key"),
+        "source",
+        token_count("text").alias("toks"),
+    )
+    legs = []
+    for mode, exact in (("approx", False), ("exact", True)):
+        legs.append(
+            token_budget_mix(
+                docs, _TOKEN_BUDGET, "source", "key", "toks",
+                weights=_TOKEN_BUDGET_WEIGHTS, salt="tb", exact=exact,
+            ).select(
+                _L(mode).alias("mode"),
+                "doc_id",
+                "source",
+                F.col("toks").cast("long").alias("toks"),
+                F.col("_target_tokens").alias("target_tokens"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
 def q_sampling_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of stratified_sample + quality_topk +
-    repetition_stats."""
+    repetition_stats + token_budget_mix."""
     a = q_stratified_sample(spark, sf_dir).select(
         _L("sample").alias("stage"), "doc_id", "lang",
         _L(-1.0).alias("q1"), _L(-1.0).alias("q2"),
@@ -1730,7 +1765,15 @@ def q_sampling_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_bigram_frac").alias("q2"),
         _L(-1).cast("long").alias("rnk"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = q_token_budget_mix(spark, sf_dir).select(
+        F.concat(_L("budget_"), F.col("mode")).alias("stage"),
+        "doc_id",
+        F.col("source").alias("lang"),
+        F.col("toks").cast("double").alias("q1"),
+        F.col("target_tokens").cast("double").alias("q2"),
+        _L(-1).cast("long").alias("rnk"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2179,6 +2222,44 @@ def _query_bucket(qvec: list[float], n_bits: int) -> int:
         proj = sum(_hyperplane_sign_sql(j, d) * qvec[d] for d in range(dims))
         out = out * 2 + (1 if proj > 0 else 0)
     return out
+
+
+def _token_budget_sql() -> str:
+    """token_budget_mix oracle, both modes: approx = the md5-parity
+    hash-threshold rate min(1, target/tokens); exact = per-source
+    running-sum cutoff with the same (hash, key) total order.
+    Normalized weights are interpolated as Python ``repr`` so the SQL
+    CASE carries the exact doubles Spark's ``F.lit`` embeds."""
+    total_w = sum(w for w in _TOKEN_BUDGET_WEIGHTS.values() if w > 0)
+    case = " ".join(
+        f"WHEN '{s}' THEN ({(w / total_w)!r})"
+        for s, w in sorted(_TOKEN_BUDGET_WEIGHTS.items())
+    )
+    src_list = ", ".join(f"'{s}'" for s in sorted(_TOKEN_BUDGET_WEIGHTS))
+    hash60 = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 15))"
+        "::UBIGINT % 1000000"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, source, "
+        "CAST(len(str_split(text, ' ')) AS BIGINT) AS toks, "
+        f"{hash60} AS hb FROM documents), "
+        "s AS (SELECT source, SUM(toks) AS stok FROM t GROUP BY source), "
+        f"tw AS (SELECT source, stok, CAST(floor((CASE source {case} END) "
+        f"* {_TOKEN_BUDGET}) AS BIGINT) AS target FROM s "
+        f"WHERE source IN ({src_list})), "
+        "r AS (SELECT source, target, CAST(floor(least(1.0, target / stok) "
+        "* 1000000) AS BIGINT) AS cut FROM tw), "
+        "approx AS (SELECT 'budget_approx' AS stage, t.doc_id, t.source, "
+        "t.toks, r.target FROM t JOIN r USING (source) WHERE t.hb < r.cut), "
+        "cum AS (SELECT t.doc_id, t.source, t.toks, tw.target, "
+        "SUM(t.toks) OVER (PARTITION BY t.source "
+        "ORDER BY t.hb, CAST(t.doc_id AS VARCHAR)) AS c "
+        "FROM t JOIN tw USING (source)), "
+        "exact AS (SELECT 'budget_exact' AS stage, doc_id, source, toks, "
+        "target FROM cum WHERE c - toks < target) "
+        "SELECT * FROM approx UNION ALL SELECT * FROM exact"
+    )
 
 
 def _pq_oracle_sql() -> str:
@@ -3328,13 +3409,16 @@ def _compose_oracles(base: dict[str, str]) -> dict[str, str]:
     qt = out.pop("quality_topk")
     rs = out.pop("repetition_stats")
     out["sampling_quality"] = (
-        f"WITH css AS ({ss}), cqt AS ({qt}), crs AS ({rs}) "
+        f"WITH css AS ({ss}), cqt AS ({qt}), crs AS ({rs}), "
+        f"ctb AS ({_token_budget_sql()}) "
         "SELECT 'sample' AS stage, doc_id, lang, CAST(-1.0 AS DOUBLE) AS q1, "
         "CAST(-1.0 AS DOUBLE) AS q2, CAST(-1 AS BIGINT) AS rnk FROM css "
         "UNION ALL SELECT 'topk', doc_id, lang, CAST(quality AS DOUBLE), "
         "CAST(-1.0 AS DOUBLE), CAST(group_rank AS BIGINT) FROM cqt "
         "UNION ALL SELECT 'repetition', doc_id, '', CAST(dup_line_frac AS DOUBLE), "
-        "CAST(top_bigram_frac AS DOUBLE), CAST(-1 AS BIGINT) FROM crs"
+        "CAST(top_bigram_frac AS DOUBLE), CAST(-1 AS BIGINT) FROM crs "
+        "UNION ALL SELECT stage, doc_id, source, CAST(toks AS DOUBLE), "
+        "CAST(target AS DOUBLE), CAST(-1 AS BIGINT) FROM ctb"
     )
 
     ds = out.pop("domain_stats")

@@ -109,6 +109,104 @@ def temperature_mix(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    buckets: int = 1_000_000,
+    exact: bool = False,
+) -> DataFrame:
+    """Sample each source down to a TOKEN budget ("mix to 10B tokens:
+    60% web, 30% code, 10% books") — the unit LLM data recipes are
+    written in; :func:`temperature_mix` rebalances by DOC counts,
+    which drifts arbitrarily when per-source document lengths differ.
+
+    ``weights`` maps source → mixture weight (normalized over the
+    sources present; sources absent from the dict get 0 and are
+    dropped); ``None`` splits the budget ∝ each source's natural
+    token mass (a pure global downscale). A source with fewer tokens
+    than its target is kept whole — the shortfall is reported, not
+    silently rebalanced (rebalancing would change OTHER sources'
+    rates based on one source's exhaustion, making rates
+    non-compositional across increments).
+
+    Two modes, both deterministic and SQL-oracle-checkable:
+
+    * ``exact=False`` (default, the 10^12 shape): keep rate
+      ``min(1, target_s / tokens_s)`` by key-hash threshold — one
+      per-source token-sum aggregate (a #sources-row dim), a
+      broadcast join back, a map-side filter; zero sorts. Sampled
+      token mass is target_s in expectation with O(1/√n_s) relative
+      error — at a 10^10-token source that error is ~10^-5, far
+      tighter than any recipe cares about.
+    * ``exact=True``: within each source, order docs by
+      ``(key-hash, key)`` and keep while the RUNNING token sum stays
+      under target (the first boundary-crossing doc is included, so
+      the target is always reached when the source can cover it).
+      A per-source cumulative window — one shuffle on the source key
+      and a per-partition external sort; use when the budget must be
+      hit exactly (e.g. a fixed eval slice), not for bulk mixing.
+
+    Output: the sampled rows plus ``_target_tokens`` (the source's
+    integer token target) for audit joins."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    base = df.where(F.col(source_col).isNotNull() & F.col(key_col).isNotNull())
+    sums = base.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("_stok")
+    )
+    if weights is not None:
+        total_w = sum(w for w in weights.values() if w > 0)
+        if total_w <= 0:
+            raise ValueError("weights must contain a positive entry")
+        wexpr = F.lit(None).cast("double")
+        for s, w in sorted(weights.items()):
+            wexpr = F.when(F.col(source_col) == s, F.lit(w / total_w)).otherwise(wexpr)
+        sums = sums.withColumn("_w", wexpr).where(F.col("_w").isNotNull())
+    else:
+        wtot = Window.partitionBy()  # over the tiny per-source dim only
+        sums = sums.withColumn(
+            "_w", F.col("_stok") / F.sum("_stok").over(wtot)
+        )
+    targets = sums.select(
+        source_col,
+        "_stok",
+        F.floor(F.col("_w") * budget_tokens).cast("long").alias("_target_tokens"),
+    )
+    if not exact:
+        rates = targets.select(
+            source_col,
+            "_target_tokens",
+            F.floor(
+                F.least(F.lit(1.0), F.col("_target_tokens") / F.col("_stok"))
+                * buckets
+            ).cast("long").alias("_cut"),
+        )
+        return (
+            base.join(F.broadcast(rates), source_col)
+            .where(hash_bucket(key_col, buckets, salt) < F.col("_cut"))
+            .drop("_cut")
+        )
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(key_col, buckets, salt), F.col(key_col)
+    )
+    running = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        base.join(
+            F.broadcast(targets.select(source_col, "_target_tokens")), source_col
+        )
+        .withColumn("_cum", running)
+        .where(F.col("_cum") - F.col(token_col).cast("long") < F.col("_target_tokens"))
+        .drop("_cum")
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_col: str,

@@ -738,6 +738,7 @@ def pq_topk(
     shortlist: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    code_col: str | None = None,
 ) -> DataFrame:
     """PQ top-k with asymmetric distance (ADC) + exact re-rank:
     encode every vector (pure codegen), approximate its distance to
@@ -748,13 +749,27 @@ def pq_topk(
     Scale: the ADC scan needs ONLY the code column (m bytes/vector —
     at 10^12 vectors the codes are a stored column and the raw
     vectors never leave the lake); both cuts are TakeOrdered, never a
-    full sort; the exact re-rank touches ``shortlist`` vectors."""
+    full sort; the exact re-rank touches ``shortlist`` vectors.
+
+    Pass ``code_col`` when the codes are already a stored column
+    (encode once, probe many — the production shape); otherwise they
+    are computed on the fly from ``vec_col``.
+
+    Sizing ``shortlist``: ADC resolution is ``m·log2(k)`` bits, so
+    vectors closer than the quantization error TIE on adist — the
+    shortlist must cover the largest plausible tie set or the
+    tie-break (lowest id) silently drops true neighbors. Rule of
+    thumb: shortlist ≳ expected cluster/near-dup group size, and
+    always ≫ k (FAISS practice: re-rank 100-1000× k)."""
     m = len(codebooks)
     lut = pq_lut(query_vec, codebooks)
     lut_lit = F.array(
         *[F.array(*[F.lit(v) for v in row]) for row in lut]
     )
-    coded = pq_encode(df, codebooks, vec_col=vec_col, out_col="_code")
+    if code_col is not None:
+        coded = df.withColumn("_code", F.col(code_col))
+    else:
+        coded = pq_encode(df, codebooks, vec_col=vec_col, out_col="_code")
     adist = F.aggregate(
         F.zip_with(
             F.col("_code"),

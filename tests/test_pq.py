@@ -126,3 +126,17 @@ def test_pq_code_compression_shape(emb):
     assert schema["pq_code"] == "array<int>"
     code = pq_encode(emb, books).select("pq_code").first()["pq_code"]
     assert len(code) == M and all(0 <= c < K for c in code)
+
+
+def test_pq_topk_stored_codes_match_on_the_fly(emb):
+    """Pre-encoded codes (the 10^12 stored-column shape) must produce
+    the identical result to on-the-fly encoding."""
+    books = pq_train(emb, m=M, k=K, n_iter=2)
+    q = [((d % 5) - 2) / 2.0 for d in range(DIMS)]
+    fly = pq_topk(emb, q, books, k=5, shortlist=40).collect()
+    stored = pq_topk(
+        pq_encode(emb, books), q, books, k=5, shortlist=40, code_col="pq_code"
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in fly] == [
+        (r["vec_id"], r["cos_sim"]) for r in stored
+    ]

@@ -164,23 +164,32 @@ def main() -> int:
     out["ivf_stored_nprobe2"] = run("ivf_stored", stored_probe)
     celled.unpersist()
 
-    # IVF-PQ: m=8 × k=16 codebooks trained in-engine, 8-byte codes,
-    # integer-LUT ADC shortlist (4·K) + exact re-rank — the
-    # compressed-domain scan for when even one float column per
-    # vector is too much I/O at 10^12 scale
-    from solrizer_spark.operators.similarity import pq_topk, pq_train
+    # IVF-PQ: m=8 × k=16 codebooks trained in-engine, 8-byte codes
+    # STORED as a column (encode once, probe many — the 10^12 shape:
+    # the ADC scan reads 8 bytes/vector, the raw vectors never leave
+    # the lake), integer-LUT ADC shortlist + exact re-rank. On this
+    # planted-cluster corpus every same-cluster vector quantizes to a
+    # near-identical code, so ADC TIES across the whole ~780-vector
+    # cluster — the shortlist must cover the tie set (1024 > cluster)
+    # or the lowest-id tie-break silently drops true neighbors; the
+    # undersized 4·K row is kept to document exactly that failure.
+    from solrizer_spark.operators.similarity import pq_encode, pq_topk, pq_train
 
     t0 = time.monotonic()
     books = pq_train(corpus, m=8, k=16, n_iter=3)
     pq_train_wall = round(time.monotonic() - t0, 2)
-    out["pq_adc_rerank"] = run(
-        "pq",
-        lambda qv, qid: pq_topk(
-            corpus.where(F.col("vec_id") != qid), qv, books,
-            k=K, shortlist=4 * K,
-        ).collect(),
-    )
+    pq_coded = pq_encode(corpus, books).persist()
+    pq_coded.count()
+    for label, sl in (("pq_adc_rerank_short40", 4 * K), ("pq_adc_rerank", 1024)):
+        out[label] = run(
+            label,
+            lambda qv, qid, s=sl: pq_topk(
+                pq_coded.where(F.col("vec_id") != qid), qv, books,
+                k=K, shortlist=s, code_col="pq_code",
+            ).collect(),
+        )
     out["pq_adc_rerank"]["train_wall_sec"] = pq_train_wall
+    pq_coded.unpersist()
 
     r1, r2, r4 = (out[f"ivf_nprobe{p}"]["mean_recall_at_10"] for p in (1, 2, 4))
     assert r1 <= r2 <= r4, (r1, r2, r4)

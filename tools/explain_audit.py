@@ -304,6 +304,28 @@ def main() -> int:
         f"takeordered={p23.count('TakeOrderedAndProject')}",
     )
 
+    # token-budget mix, approx mode: the rates dim broadcasts and the
+    # keep-filter is map-side — no sort, no window, no cartesian
+    from solrizer_spark.functions.text_stats import token_count
+    from solrizer_spark.operators.sampling import token_budget_mix
+
+    tb_in = docs.select(
+        "doc_id", F.col("doc_id").cast("string").alias("key"), "source",
+        token_count("text").alias("toks"),
+    )
+    p24 = plan_of(
+        token_budget_mix(tb_in, 2000, "source", "key", "toks",
+                         weights={"src0": 0.5, "src1": 0.5})
+    )
+    check(
+        "token_budget_approx_broadcast_no_sort",
+        "BroadcastHashJoin" in p24
+        and "CartesianProduct" not in p24
+        and "Window" not in p24
+        and "EvalPython" not in p24,
+        f"bhj={p24.count('BroadcastHashJoin')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
