@@ -1658,14 +1658,21 @@ def q_scrub_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of lm_score + lm_backoff (join on doc_id; the
-    backoff columns carry a ``_bo`` suffix)."""
+    backoff columns carry a ``_bo`` suffix) + the CCNet head/middle/
+    tail perplexity tier (rank-selected tertile thresholds on
+    mean_p — sampling.score_buckets; unscorable docs → NULL)."""
+    from solrizer_spark.operators.sampling import score_buckets
+
     a = q_lm_score(spark, sf_dir)
     b = q_lm_backoff(spark, sf_dir).select(
         "doc_id",
         F.col("oov_rate").alias("oov_rate_bo"),
         F.col("mean_p").alias("mean_p_bo"),
     )
-    return a.join(b, "doc_id")
+    return score_buckets(
+        a.join(b, "doc_id"), "mean_p", n_buckets=3,
+        key_col="doc_id", out_col="ppl_bucket",
+    )
 
 
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3375,10 +3382,21 @@ def _compose_oracles(base: dict[str, str]) -> dict[str, str]:
     lma = out.pop("lm_score")
     lmb = out.pop("lm_backoff")
     out["lm_scores"] = (
-        f"WITH clm AS ({lma}), cbo AS ({lmb}) "
+        f"WITH clm AS ({lma}), cbo AS ({lmb}), "
+        # CCNet tier thresholds: the REAL score at rank ceil(n·i/3) of
+        # the (mean_p DESC, doc_id) order — rank-selected, never
+        # interpolated, so no float-interpolation parity to maintain
+        "ranked AS (SELECT mean_p, row_number() OVER "
+        "(ORDER BY mean_p DESC, doc_id ASC) AS rn, count(*) OVER () AS n "
+        "FROM clm WHERE mean_p IS NOT NULL), "
+        "th AS (SELECT min(CASE WHEN rn = ceil(n * 1 / 3.0) THEN mean_p END) AS t1, "
+        "min(CASE WHEN rn = ceil(n * 2 / 3.0) THEN mean_p END) AS t2 FROM ranked) "
         "SELECT clm.doc_id, clm.n_bigrams, clm.oov_rate, clm.mean_p, "
-        "cbo.oov_rate AS oov_rate_bo, cbo.mean_p AS mean_p_bo "
-        "FROM clm JOIN cbo USING (doc_id)"
+        "cbo.oov_rate AS oov_rate_bo, cbo.mean_p AS mean_p_bo, "
+        "CASE WHEN clm.mean_p IS NULL THEN NULL ELSE "
+        "(CASE WHEN clm.mean_p < th.t1 THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN clm.mean_p < th.t2 THEN 1 ELSE 0 END) END AS ppl_bucket "
+        "FROM clm JOIN cbo USING (doc_id) CROSS JOIN th"
     )
 
     fs = out.pop("fetch_schedule")

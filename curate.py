@@ -67,7 +67,7 @@ from solrizer_spark.session import get_spark
 KNOWN_OPS = (
     "normalize", "quality", "fluency", "langs", "linededup", "substrdedup",
     "canonicaldedup", "exactdedup", "neardedup", "basededup", "decontaminate",
-    "scrub", "mix", "dsir", "chunk",
+    "scrub", "mix", "tokenbudget", "ppltier", "dsir", "chunk",
 )
 
 
@@ -93,6 +93,23 @@ def apply_op(
             (F.col("n_bigrams") > 0) & (F.col("mean_p") < args.min_fluency)
         ).select(id_col)
         return df.join(drop, id_col, "left_anti")
+    if op == "ppltier":
+        from solrizer_spark.operators.lm import lm_score, train_bigram_model
+        from solrizer_spark.operators.sampling import score_buckets
+
+        df = df.persist()  # scanned 3x: training, scoring, keep-join
+        persisted.append(df)
+        model = train_bigram_model(df, text_col=text_col, id_col=id_col)
+        scored = lm_score(df, model, text_col=text_col, id_col=id_col)
+        tiers = score_buckets(
+            scored, "mean_p", n_buckets=args.ppl_tiers, key_col=id_col,
+            sample_fraction=args.ppl_sample_fraction,
+        )
+        keep = tiers.where(
+            F.col("score_bucket").isNull()  # unscorable: not CCNet's call
+            | (F.col("score_bucket") < args.ppl_keep_tiers)
+        ).select(id_col)
+        return df.join(keep, id_col, "left_semi")
     if op == "langs":
         from solrizer_spark.functions.text_stats import langid
 
@@ -213,6 +230,20 @@ def apply_op(
         return temperature_mix(
             df, args.mix_source_col, id_col, temperature=args.mix_temperature
         )
+    if op == "tokenbudget":
+        from solrizer_spark.functions.text_stats import token_count
+        from solrizer_spark.operators.sampling import token_budget_mix
+
+        toks = token_count(text_col)
+        out = token_budget_mix(
+            df.withColumn("_toks", toks),
+            args.budget_tokens,
+            args.mix_source_col,
+            id_col,
+            "_toks",
+            exact=args.budget_exact,
+        )
+        return out.drop("_toks", "_target_tokens")
     if op == "dsir":
         import math
 
@@ -345,6 +376,21 @@ def main() -> None:
                     "only signaturing; takes precedence over --base-path)")
     ap.add_argument("--mix-source-col", default="lang")
     ap.add_argument("--mix-temperature", type=float, default=0.7)
+    ap.add_argument("--budget-tokens", type=int, default=1_000_000,
+                    help="tokenbudget op: total token target, split over "
+                         "--mix-source-col values by natural token mass")
+    ap.add_argument("--ppl-tiers", type=int, default=3,
+                    help="ppltier op: number of CCNet quantile tiers")
+    ap.add_argument("--ppl-keep-tiers", type=int, default=2,
+                    help="ppltier op: keep tiers < N (0 = head); CCNet "
+                         "keeps head+middle by default")
+    ap.add_argument("--ppl-sample-fraction", type=float, default=1.0,
+                    help="ppltier op: hash-sample fraction for threshold "
+                         "estimation (CCNet shape; use ~1e-4 at 10^12 docs)")
+    ap.add_argument("--budget-exact", action="store_true",
+                    help="tokenbudget op: exact running-sum cutoff instead "
+                         "of the hash-rate approximation (adds a per-source "
+                         "sort; use for small eval slices)")
     ap.add_argument("--dsir-target-lang", default="en",
                     help="dsir op: target domain = docs langid'd to this")
     ap.add_argument("--dsir-keep-frac", type=float, default=0.5,

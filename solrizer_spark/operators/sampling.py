@@ -432,3 +432,81 @@ def dsir_importance_weights(
             id_col, "weight", F.col("_sel_id").isNotNull().alias("selected")
         )
     return out
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    key_col: str = "doc_id",
+    sample_fraction: float = 1.0,
+    salt: str = "ppl",
+    out_col: str = "score_bucket",
+) -> DataFrame:
+    """CCNet-style quantile bucketing (Wenzek et al. 2020): split the
+    corpus into ``n_buckets`` quality tiers (0 = best) by per-group
+    score quantiles — the head/middle/tail split CCNet applies to
+    per-language LM perplexity before choosing which tier to train on.
+
+    Thresholds are RANK-SELECTED, never interpolated: the boundary
+    score is the real score at rank ``ceil(n·i/b)`` of the
+    (score desc, key) total order, so there is no float-interpolation
+    arithmetic to keep in cross-engine parity, and ties at a boundary
+    land deterministically in the better tier (``score ≥ t_i``).
+
+    Scale shape (CCNet's own): thresholds come from a deterministic
+    ``sample_fraction`` hash-sample — the only rank window runs over
+    that bounded sample, per group — and assignment is a broadcast
+    dim join + map-side comparisons over the full corpus. At 10^12
+    docs pass e.g. ``sample_fraction=1e-4``; the default 1.0 is exact
+    and fine up to the size where a per-group sort hurts. Rows with a
+    NULL score get a NULL bucket (unscorable ≠ worst)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be ≥ 2, got {n_buckets}")
+    from pyspark.sql import Window
+
+    base = df.where(F.col(score_col).isNotNull())
+    sample = (
+        hash_sample(base, key_col, sample_fraction, salt)
+        if sample_fraction < 1.0
+        else base
+    )
+    grp = [group_col] if group_col else []
+    w = Window.partitionBy(*grp).orderBy(
+        F.col(score_col).desc(), F.col(key_col)
+    )
+    cw = Window.partitionBy(*grp)
+    ranked = (
+        sample.select(*grp, score_col, key_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cw))
+    )
+    th = ranked.groupBy(*grp).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_rn") == F.ceil(F.col("_n") * i / n_buckets),
+                    F.col(score_col),
+                )
+            ).alias(f"_t{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    if grp:
+        joined = df.join(F.broadcast(th), grp, "left")
+    else:
+        # dummy equi-key: a 1-row dim as BroadcastHashJoin, not BNLJ
+        joined = df.withColumn("_one", F.lit(1)).join(
+            F.broadcast(th.withColumn("_one", F.lit(1))), "_one"
+        ).drop("_one")
+    tier = None
+    for i in range(1, n_buckets):
+        below = (F.col(score_col) < F.col(f"_t{i}")).cast("int")
+        tier = below if tier is None else tier + below
+    bucket = F.when(F.col(score_col).isNotNull(), tier).otherwise(
+        F.lit(None).cast("int")
+    )
+    return joined.withColumn(out_col, bucket).drop(
+        *[f"_t{i}" for i in range(1, n_buckets)]
+    )

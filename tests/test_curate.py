@@ -20,6 +20,8 @@ def _args(**kw) -> argparse.Namespace:
         min_fluency=1e-4, base_path=None, base_index=None, output_format="parquet",
         span_tokens=50, span_keep="first",
         dsir_target_lang="en", dsir_keep_frac=0.5, dsir_buckets=128,
+        budget_tokens=1_000_000, budget_exact=False,
+        ppl_tiers=3, ppl_keep_tiers=2, ppl_sample_fraction=1.0,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -307,3 +309,49 @@ def test_curate_canonicaldedup(spark, tmp_path):
     with pytest.raises(SystemExit, match="canonical_url"):
         run_curate(spark, _args(input=src2, output=str(tmp_path / "c2"),
                                 ops="canonicaldedup", id_col="url", text_col="text"))
+
+
+def test_curate_tokenbudget(spark, docs_table, tmp_path):
+    """tokenbudget op: exact mode lands the corpus within one doc of
+    the per-source targets; internal columns don't leak."""
+    from curate import run_curate
+
+    out = str(tmp_path / "tb")
+    stats = run_curate(
+        spark,
+        _args(input=docs_table, output=out, ops="tokenbudget",
+              budget_tokens=40, budget_exact=True),
+    )
+    assert 0 < stats["rows_out"] < 6
+    got = spark.read.parquet(out)
+    assert "_toks" not in got.columns and "_target_tokens" not in got.columns
+    mass = got.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    # one source (lang=en): target 40, overshoot < the boundary doc
+    assert 40 <= mass < 40 + 25
+
+
+def test_curate_ppltier(spark, tmp_path):
+    """ppltier op: CCNet head/middle keep — the tail tier of the
+    self-trained bigram fluency ranking is dropped; docs built from
+    corpus-common bigrams outrank all-OOV gibberish."""
+    from curate import run_curate
+
+    common = "the cat sat on the mat " * 4
+    rows = [(i, common.strip(), "en") for i in range(6)] + [
+        (10, "zxq wvu tsr qpo nml kji hgf edc", "en"),
+        (11, "aaa bbb ccc ddd eee fff ggg hhh", "en"),
+        (12, "one two three four five six seven eight", "en"),
+    ]
+    path = str(tmp_path / "ppl_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(path)
+    out = str(tmp_path / "ppl")
+    stats = run_curate(
+        spark,
+        _args(input=path, output=out, ops="ppltier",
+              ppl_tiers=3, ppl_keep_tiers=2),
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert stats["rows_out"] < 9, "tail tier must be dropped"
+    assert set(range(6)) <= kept, "common-bigram docs are head tier"

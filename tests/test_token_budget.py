@@ -87,3 +87,76 @@ def test_null_source_rows_excluded(spark):
     )
     out = token_budget_mix(df, 100, "source", "key", "toks", exact=True)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# score_buckets (CCNet head/middle/tail quantile tiers)
+# ---------------------------------------------------------------------------
+
+def _scored(spark, n=90, groups=("en",)):
+    rows = []
+    i = 0
+    for g in groups:
+        for _ in range(n // len(groups)):
+            rows.append((i, g, float(i)))  # score == id → known order
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, s double")
+
+
+def test_score_buckets_tertiles_exact(spark):
+    from solrizer_spark.operators.sampling import score_buckets
+
+    df = _scored(spark, 90)
+    out = score_buckets(df, "s", n_buckets=3, key_col="doc_id").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["score_bucket"], []).append(r["s"])
+    # 90 scores 0..89 desc: head = top 30 (60..89), tail = 0..29
+    assert sorted(by_bucket[0]) == [float(x) for x in range(60, 90)]
+    assert sorted(by_bucket[1]) == [float(x) for x in range(30, 60)]
+    assert sorted(by_bucket[2]) == [float(x) for x in range(0, 30)]
+
+
+def test_score_buckets_per_group_and_null_scores(spark):
+    from solrizer_spark.operators.sampling import score_buckets
+
+    rows = [(0, "a", 1.0), (1, "a", 2.0), (2, "a", 3.0), (3, "a", 4.0),
+            (4, "b", 10.0), (5, "b", 20.0), (6, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = {
+        r["doc_id"]: r["score_bucket"]
+        for r in score_buckets(
+            df, "s", n_buckets=2, group_col="lang", key_col="doc_id"
+        ).collect()
+    }
+    # group a: top-2 (4.0, 3.0) head; group b ranked independently
+    assert out[3] == 0 and out[2] == 0 and out[1] == 1 and out[0] == 1
+    assert out[5] == 0 and out[4] == 1
+    assert out[6] is None, "unscorable docs get NULL, not worst tier"
+
+
+def test_score_buckets_boundary_tie_goes_to_better_tier(spark):
+    from solrizer_spark.operators.sampling import score_buckets
+
+    # 6 rows, scores [5,5,5,1,1,1]: t1 = score at rank 2 = 5 → all
+    # three 5s (>= t1) are head even though rank 3 crosses n/2
+    rows = [(i, 5.0 if i < 3 else 1.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = {
+        r["doc_id"]: r["score_bucket"]
+        for r in score_buckets(df, "s", n_buckets=2, key_col="doc_id").collect()
+    }
+    assert [out[i] for i in range(6)] == [0, 0, 0, 1, 1, 1]
+
+
+def test_score_buckets_sampled_thresholds_deterministic(spark):
+    from solrizer_spark.operators.sampling import score_buckets
+
+    df = _scored(spark, 300)
+    a = score_buckets(df, "s", key_col="doc_id", sample_fraction=0.3)
+    b = score_buckets(df, "s", key_col="doc_id", sample_fraction=0.3)
+    assert a.collect() == b.collect()
+    # every row still gets a bucket; tiers are roughly balanced
+    counts = {r["score_bucket"]: r["c"] for r in
+              a.groupBy("score_bucket").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {0, 1, 2} and all(c > 50 for c in counts.values())
