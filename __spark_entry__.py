@@ -1135,7 +1135,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrizer_spark.session import local_df
 
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = pq_train(emb, m=_PQ_M, k=_PQ_K, n_iter=3)
+    # codebooks train on a bounded deterministic sample (FAISS
+    # practice; ~10^3 vectors per codeword suffices) — the oracle is
+    # unaffected because it re-derives everything from the PERSISTED
+    # codebooks, whatever sample trained them
+    n = emb.count()
+    frac = 1.0 if n <= 20_000 else max(0.05, 20_000 / n)
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, n_iter=3, train_fraction=frac)
     rows = [
         (j, c, p, w)
         for j, book in enumerate(books)

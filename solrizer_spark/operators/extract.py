@@ -332,6 +332,36 @@ def main_text(blocks: Column) -> Column:
     return F.array_join(F.transform(ordered, lambda b: b["text"]), "\n")
 
 
+def page_outline(blocks: Column) -> Column:
+    """Heading hierarchy from the scored block array:
+    ``array<struct<level int, text string>>`` in document order —
+    parser-grounded (block ``tag_path``, so headings inside scripts,
+    comments, or dropped markup never appear; a raw-HTML regexp
+    would), kept/dropped-agnostic (a nav-scored h2 is still part of
+    the outline). Pure Column expressions over the detail-mode
+    ``blocks`` column; zero Python, zero shuffle."""
+    ordered = F.array_sort(
+        F.filter(
+            blocks,
+            lambda b: F.element_at(F.split(b["tag_path"], "/"), -1).rlike(
+                "^h[1-6]$"
+            ),
+        ),
+        lambda a, b: F.when(a["block_index"] < b["block_index"], -1)
+        .when(a["block_index"] > b["block_index"], 1)
+        .otherwise(0),
+    )
+    return F.transform(
+        ordered,
+        lambda b: F.struct(
+            F.substring(F.element_at(F.split(b["tag_path"], "/"), -1), 2, 1)
+            .cast("int")
+            .alias("level"),
+            b["text"].alias("text"),
+        ),
+    )
+
+
 def page_labels(pages: Column, title_field: str = "title") -> Column:
     """Ordered page labels (PageSequence.labels, page_sequence.py:67-71):
     each page's title, or the positional ``[Page N]`` placeholder

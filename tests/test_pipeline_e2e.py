@@ -399,3 +399,28 @@ def test_noindex_flag_surfaced(spark, tmp_path):
     assert docs["https://n.com/open"]["is_noindex"] is False
     metrics = spark.read.parquet(out + "/metrics")
     assert metrics.agg(F.sum("n_noindex")).first()[0] == 1
+
+
+def test_page_outline_from_blocks(spark):
+    """page_outline: heading hierarchy in document order from the
+    detail-mode blocks column; non-heading blocks and markup inside
+    scripts/comments never appear."""
+    from solrizer_spark.operators.extract import extract_stage, page_outline
+
+    html = (
+        b"<html><body><h1>Top</h1><p>text one</p>"
+        b"<script>var x = '<h2>fake</h2>';</script>"
+        b"<div><h2>Sec A</h2><p>two</p><h3>Sub</h3><p>three</p></div>"
+        b"<h2>Sec B</h2><p>four</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("u1", html, None)], "url string, html binary, text string"
+    )
+    out = (
+        extract_stage(df, include_blocks=True)
+        .select(page_outline(F.col("blocks")).alias("o"))
+        .first()["o"]
+    )
+    assert [(r["level"], r["text"]) for r in out] == [
+        (1, "Top"), (2, "Sec A"), (3, "Sub"), (2, "Sec B"),
+    ]

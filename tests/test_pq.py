@@ -170,3 +170,16 @@ def test_ivfpq_probes_then_adc(emb):
     assert [(r["vec_id"], r["cos_sim"]) for r in full] == [
         (r["vec_id"], r["cos_sim"]) for r in plain
     ]
+
+
+def test_pq_train_fraction_samples_deterministically(emb):
+    """train_fraction: same fraction → same codebooks (hash sample);
+    the sampled training set is a strict subset, so codebooks differ
+    from full-data training but encode/search still cover ALL rows."""
+    b_full = pq_train(emb, m=M, k=K, n_iter=2)
+    b_a = pq_train(emb, m=M, k=K, n_iter=2, train_fraction=0.5)
+    b_b = pq_train(emb, m=M, k=K, n_iter=2, train_fraction=0.5)
+    assert b_a == b_b
+    assert b_a != b_full
+    coded = pq_encode(emb, b_a)
+    assert coded.count() == emb.count(), "encode covers the full input"
