@@ -34,7 +34,9 @@ def _esc(col: Column) -> Column:
     return F.regexp_replace(out, ">", "&gt;")
 
 
-def _wrap_pages(spark: SparkSession, sf_dir: str, boilerplate: bool) -> DataFrame:
+def _wrap_pages(
+    spark: SparkSession, sf_dir: str, boilerplate: bool, headings: bool = False
+) -> DataFrame:
     """documents → pages(url, warc_ts, html, text, lang) (+doc_id).
 
     ``boilerplate=False``: clean page → raw markup-strip route; the
@@ -44,10 +46,24 @@ def _wrap_pages(spark: SparkSession, sf_dir: str, boilerplate: bool) -> DataFram
     ``boilerplate=True``: nav + link farm + footer around the same
     paragraph → main-content route; expected text is exactly ``text``
     (1 block kept, nav/farm/footer dropped).
+
+    ``headings=True`` adds an ``<h1>Doc {id}</h1>`` before the
+    article and an ``<h2>Section {id%7}</h2>`` inside it. Heading
+    blocks carry zero link chars and sit in no boilerplate container,
+    so classify_blocks KEEPS them unconditionally (rule 4) — the
+    expected text/keep counts stay analytic: extracted text becomes
+    ``'Doc {id}\\nSection {id%7}\\n' + text`` with 3 kept blocks, and
+    the expected outline is exactly those two headings in order.
     """
     docs = _table(spark, sf_dir, "documents")
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
     body_core = F.concat(F.lit("<article><p>"), _esc(F.col("text")), F.lit("</p></article>"))
+    if headings:
+        body_core = F.concat(
+            F.lit("<h1>"), title, F.lit("</h1><article><h2>Section "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</h2><p>"), _esc(F.col("text")), F.lit("</p></article>"),
+        )
     if boilerplate:
         body = F.concat(
             F.lit(
@@ -87,12 +103,33 @@ def q_extract_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate classification route (SURVEY.md §2.12): keep/drop
-    counts and final bytes pinned."""
-    from solrizer_spark.operators.extract import extract_stage
+    counts and final bytes pinned, plus the heading OUTLINE derived
+    from the scored block array (``page_outline``) — scalarized as
+    ``level:text`` joined with ``|`` so the driver canonicalizer can
+    sort/hash it. The synthesized pages carry an ``<h1>`` + ``<h2>``
+    whose text is analytic in (doc_id), so the oracle re-derives the
+    outline exactly; a regexp over raw HTML would also match the
+    link-farm markup, so only a parser-grounded outline hashes clean.
+    """
+    from solrizer_spark.operators.extract import extract_stage, page_outline
 
-    pages = _wrap_pages(spark, sf_dir, boilerplate=True)
-    return extract_stage(pages).select(
-        "doc_id", "extracted_text", "blocks_kept", "blocks_dropped"
+    pages = _wrap_pages(spark, sf_dir, boilerplate=True, headings=True)
+    outline = page_outline(F.col("blocks"))
+    return extract_stage(pages, include_blocks=True).select(
+        "doc_id",
+        "extracted_text",
+        "blocks_kept",
+        "blocks_dropped",
+        F.array_join(
+            F.transform(
+                outline,
+                lambda b: F.concat(
+                    b["level"].cast("string"), F.lit(":"), b["text"]
+                ),
+            ),
+            "|",
+        ).alias("outline_str"),
+        F.size(outline).alias("n_headings"),
     )
 
 
@@ -2498,8 +2535,12 @@ def _component_oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'Doc ' || doc_id || text AS extracted_text FROM documents"
         ),
         "extract_main_content": (
-            "SELECT doc_id, text AS extracted_text, 1 AS blocks_kept, "
-            "3 AS blocks_dropped FROM documents"
+            "SELECT doc_id, "
+            "'Doc ' || doc_id || chr(10) || 'Section ' || (doc_id % 7) "
+            "|| chr(10) || text AS extracted_text, "
+            "3 AS blocks_kept, 3 AS blocks_dropped, "
+            "'1:Doc ' || doc_id || '|2:Section ' || (doc_id % 7) "
+            "AS outline_str, 2 AS n_headings FROM documents"
         ),
         "doc_fields": (
             "SELECT doc_id, 'html' AS content_model, "

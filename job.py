@@ -89,6 +89,7 @@ def run_job(
     near_cc_algorithm: str = "label_propagation",
     input_format: str = "auto",
     host_graph: bool = False,
+    outline: bool = False,
 ) -> dict:
     if resume and dedup is not None:
         # global dedup + partial recompute is unsound: a duplicate pair
@@ -176,12 +177,23 @@ def run_job(
 
     pages = salted_repartition(pages, num_partitions, salt=salt)
 
+    if outline:
+        # heading outline rides the detail-mode blocks column; forcing
+        # include_blocks keeps this a ZERO-extra-stage feature — the
+        # same single Arrow extraction pass emits the block array, and
+        # page_outline is pure Column expressions over it
+        stage_conf = {**(stage_conf or {}), "include_blocks": True}
+
     if model_chains:
         from solrizer_spark.plans.pipeline import run_model_chains
 
         out = run_model_chains(pages, model_chains, conf=stage_conf)
     else:
         out = build_pipeline(chain or DEFAULT_CHAIN, conf=stage_conf)(pages)
+    if outline and "blocks" in out.columns:
+        from solrizer_spark.operators.extract import page_outline
+
+        out = out.withColumn("outline", page_outline(F.col("blocks")))
     # a custom chain may legitimately skip stages → keep whatever
     # subset of the canonical sink columns it produced, plus any
     # registered faceter columns
@@ -190,7 +202,7 @@ def run_job(
     # detail-chain outputs: child docs + IIIF link fields
     keep += [
         c for c in out.columns
-        if (c == "pages" or c.startswith("iiif_")) and c not in keep
+        if (c in ("pages", "outline") or c.startswith("iiif_")) and c not in keep
     ]
     docs = out.select(*keep)
 
@@ -393,6 +405,13 @@ def main() -> None:
         "rounds regardless of diameter (huge or chain-shaped graphs)",
     )
     ap.add_argument(
+        "--outline", action="store_true",
+        help="add an outline column (array<struct<level,text>>: the "
+        "h1-h6 heading hierarchy in document order, parser-grounded "
+        "via the detail-mode block array) to the docs output; rides "
+        "the single extraction pass, no extra Python stage",
+    )
+    ap.add_argument(
         "--host-graph", action="store_true",
         help="also write host_graph/edges (distinct eTLD+1 link edges) "
         "and host_graph/ranks (integer fixed-point PageRank, 5 rounds) "
@@ -442,6 +461,7 @@ def main() -> None:
         near_cc_algorithm=args.near_cc_algorithm,
         input_format=args.input_format,
         host_graph=args.host_graph,
+        outline=args.outline,
     )
     print(json.dumps(stats))
     spark.stop()

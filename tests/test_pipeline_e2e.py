@@ -424,3 +424,32 @@ def test_page_outline_from_blocks(spark):
     assert [(r["level"], r["text"]) for r in out] == [
         (1, "Top"), (2, "Sec A"), (3, "Sub"), (2, "Sec B"),
     ]
+
+
+def test_job_outline_surface(spark, corpus_dir, tmp_path):
+    """--outline: docs carry the parser-grounded heading hierarchy.
+    multi-block pages (class 5) open with exactly one <h1>; non-HTML
+    routes (plain-text, tagged, pdf) yield no headings."""
+    out = str(tmp_path / "outline_out")
+    run_job(
+        spark, os.path.join(corpus_dir, "pages"), out,
+        n_buckets=16, outline=True,
+    )
+    docs = spark.read.parquet(out + "/docs")
+    assert "outline" in docs.columns
+    golden = spark.read.parquet(os.path.join(corpus_dir, "golden"))
+    j = docs.join(golden, "url").cache()
+    bad_level = j.where(
+        F.exists("outline", lambda b: (b["level"] < 1) | (b["level"] > 6))
+    ).count()
+    assert bad_level == 0
+    multi = j.where(F.col("payload_class") == "multi-block")
+    assert multi.count() > 0
+    assert multi.where(
+        (F.size("outline") != 1) | (F.element_at("outline", 1)["level"] != 1)
+    ).count() == 0
+    flat = j.where(F.col("payload_class").isin("plain-text", "tagged-payload"))
+    assert flat.where(
+        F.coalesce(F.size("outline"), F.lit(0)) != 0
+    ).count() == 0
+    j.unpersist()

@@ -289,13 +289,20 @@ def main() -> int:
         [[((j * 31 + c * 7 + p) % 11 - 5) / 5.0 for p in range(8)] for c in range(16)]
         for j in range(8)
     ]
-    p22 = plan_of(pq_encode(emb, _books))
+    p22 = plan_of(pq_encode(emb, _books, arrow=False))
     check(
         "pq_encode_pure_codegen_no_shuffle",
         "EvalPython" not in p22 and "Exchange" not in p22,
         f"exchanges={p22.count('Exchange')}",
     )
-    p23 = plan_of(pq_topk(emb, em._QUERY_VEC, _books, k=10, shortlist=64))
+    # production ADC shape: codes are a STORED column (encode once,
+    # probe many) — the probe plan itself carries zero Python
+    p23 = plan_of(
+        pq_topk(
+            pq_encode(emb, _books, arrow=False), em._QUERY_VEC, _books,
+            k=10, shortlist=64, code_col="pq_code",
+        )
+    )
     check(
         "pq_adc_takeordered_no_python",
         p23.count("TakeOrderedAndProject") == 2
@@ -324,6 +331,28 @@ def main() -> int:
         and "Window" not in p24
         and "EvalPython" not in p24,
         f"bhj={p24.count('BroadcastHashJoin')}",
+    )
+
+    # outline-extended extract_main_content: the heading outline rides
+    # the SAME single Arrow extraction stage (pure Column exprs over
+    # the detail blocks array — no second Python crossing, no
+    # exchange beyond the scan)
+    p25 = plan_of(em.q_extract_main_content(spark, sf))
+    check(
+        "outline_rides_single_arrow_stage",
+        p25.count("ArrowEvalPython") == 1 and "Exchange" not in p25,
+        f"arrow={p25.count('ArrowEvalPython')} exch={p25.count('Exchange')}",
+    )
+
+    # Arrow PQ encode: exactly one ArrowEvalPython, zero exchanges
+    from solrizer_spark.operators.similarity import pq_encode, pq_train
+
+    books24 = pq_train(emb.limit(512), m=4, k=4, n_iter=1)
+    p26 = plan_of(pq_encode(emb, books24))
+    check(
+        "pq_encode_single_arrow_no_shuffle",
+        p26.count("ArrowEvalPython") == 1 and "Exchange" not in p26,
+        f"arrow={p26.count('ArrowEvalPython')} exch={p26.count('Exchange')}",
     )
 
     spark.stop()
