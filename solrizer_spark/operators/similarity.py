@@ -56,21 +56,30 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector. The
     ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
     per-partition heaps + driver merge, no global sort shuffle. The
     query norm is a Python-computed literal (same fold order, same
     double) — Catalyst does not fold aggregates over literal arrays,
-    so inline ``cosine`` re-ran the q·q fold per scanned row."""
+    so inline ``cosine`` re-ran the q·q fold per scanned row.
+
+    ``arrow=True`` (default) scores through the Arrow numpy kernel
+    (:func:`make_cosine_to_query_udf` — bit-identical doubles by
+    construction); ``arrow=False`` is the pure-Column interpreted-HOF
+    fallback (zero Python in the plan)."""
     import math
 
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    nq = F.lit(math.sqrt(sum(float(v) * float(v) for v in query_vec)))
-    nv = norm(F.col(vec_col))
-    cos = F.when(
-        nv * nq != 0.0, dot(F.col(vec_col), q) / (nv * nq)
-    ).otherwise(F.lit(0.0))
+    if arrow:
+        cos = make_cosine_to_query_udf(query_vec)(F.col(vec_col))
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        nq = F.lit(math.sqrt(sum(float(v) * float(v) for v in query_vec)))
+        nv = norm(F.col(vec_col))
+        cos = F.when(
+            nv * nq != 0.0, dot(F.col(vec_col), q) / (nv * nq)
+        ).otherwise(F.lit(0.0))
     out = df.select(
         F.col(id_col),
         F.round(cos, 6).alias("cos_sim"),
@@ -126,6 +135,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 1,
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's hyperplane
     bucket(s) only. At 10^12 scale the bucketed table is precomputed
@@ -142,7 +152,12 @@ def lsh_topk(
     (offset = band·n_bits), and all band buckets are plan-time
     literals — the scan stays a single pass with an OR-of-equalities
     filter (at scale: one stored bucket column per band, nprobe-style
-    partition pruning)."""
+    partition pruning).
+
+    ``arrow=True`` computes all band keys in one Arrow batch pass
+    (:func:`make_band_keys_udf`); ``arrow=False`` keeps the plan pure
+    Column. Either way the probe filter is an OR of integer
+    equalities against plan-time query buckets."""
     dims = len(query_vec)
 
     def q_bucket_for(offset: int) -> int:
@@ -154,13 +169,28 @@ def lsh_topk(
             bucket = bucket * 2 + (1 if proj > 0 else 0)
         return bucket
 
+    if arrow:
+        withk = df.withColumn(
+            "_bkeys", make_band_keys_udf(bands, n_bits, dims)(F.col(vec_col))
+        )
+        cond = None
+        for band in range(bands):
+            this = F.element_at(F.col("_bkeys"), band + 1) == q_bucket_for(
+                band * n_bits
+            )
+            cond = this if cond is None else (cond | this)
+        return brute_force_topk(
+            withk.where(cond).drop("_bkeys"), query_vec, k, id_col, vec_col
+        )
     cond = None
     out = df
     for band in range(bands):
         col = hyperplane_bucket(F.col(vec_col), n_bits, dims, offset=band * n_bits)
         this = col == q_bucket_for(band * n_bits)
         cond = this if cond is None else (cond | this)
-    return brute_force_topk(out.where(cond), query_vec, k, id_col, vec_col)
+    return brute_force_topk(
+        out.where(cond), query_vec, k, id_col, vec_col, arrow=False
+    )
 
 
 def assign_ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -184,13 +214,15 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: partition vectors into inverted lists by
     nearest centroid, probe only the ``nprobe`` cells nearest the
     query, exact cosine inside them. The scale path to LSH's
     alternative: at 10^12 vectors the cell assignment is a stored
     column (Iceberg partition) and a probe scans nprobe/n_cells of
-    the data."""
+    the data. ``arrow`` picks the Arrow-kernel or pure-Column
+    assignment+scoring (bit-identical either way)."""
 
     def cos(a: list[float], b: list[float]) -> float:
         import math
@@ -202,9 +234,14 @@ def ivf_topk(
 
     order = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))
     probe_cells = order[:nprobe]
-    cells = df.withColumn("_cell", assign_ivf_cell(F.col(vec_col), centroids))
+    if arrow:
+        cell = make_assign_cell_sim_udf(centroids)(F.col(vec_col))["cell"]
+    else:
+        cell = assign_ivf_cell(F.col(vec_col), centroids)
+    cells = df.withColumn("_cell", cell)
     return brute_force_topk(
-        cells.where(F.col("_cell").isin(probe_cells)), query_vec, k, id_col, vec_col
+        cells.where(F.col("_cell").isin(probe_cells)),
+        query_vec, k, id_col, vec_col, arrow=arrow,
     )
 
 
@@ -218,11 +255,19 @@ def embedding_near_dup_pairs(
     bands: int = 8,
     max_bucket: int = 64,
     persist_base: bool = True,
+    arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded hyperplane LSH →
     candidate pairs → exact cosine ≥ threshold. With 8 bands × 8 bits,
     a pair at cos 0.999 collides in ≥1 band with P ≈ 1−3e-8; random
-    pairs (cos≈0) collide with P ≈ 8/256."""
+    pairs (cos≈0) collide with P ≈ 8/256.
+
+    ``arrow=True`` (default) runs the two flop-heavy stages — the
+    bands·bits·dims banding projections and the per-candidate-pair
+    exact cosine — through Arrow numpy kernels
+    (:func:`make_band_keys_udf`, :func:`make_cosine_pair_udf`),
+    bit-identical to the Column folds; ``arrow=False`` keeps the whole
+    plan JVM-only (interpreted HOFs — see the kernel-section note)."""
     from solrizer_spark.operators.repartition import ensure_min_parallelism
 
     # hyperplane-projection banding over 64-dim vectors is the
@@ -239,29 +284,39 @@ def embedding_near_dup_pairs(
     # through the cap window's shuffle+sort (verification re-joins it
     # from the persisted base) — with it, 8 bands × every 64-float
     # vector crosses the wire (measured ~2× on this query)
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        hyperplane_bucket(F.col("_v"), band_bits, dims, offset=band * band_bits).alias("key"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    )
+    if arrow:
+        # one Arrow batch pass computes all band keys; posexplode's
+        # position IS the band index (the make_band_keys_udf contract)
+        banded = base.select(
+            "_id",
+            F.posexplode(
+                make_band_keys_udf(bands, band_bits, dims)(F.col("_v"))
+            ).alias("band", "key"),
+        )
+    else:
+        banded = base.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            hyperplane_bucket(F.col("_v"), band_bits, dims, offset=band * band_bits).alias("key"),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     from solrizer_spark.operators.dedup import bucket_pairs, cap_bucket_rows
 
     # pre-aggregation cap: bounds the collect_list buffer, not just the
     # pair fan-out (see dedup.cap_bucket_rows)
     capped = cap_bucket_rows(
-        banded, [F.col("bk.band"), F.col("bk.key")], [F.col("_id")], max_bucket
+        banded, [F.col("band"), F.col("key")], [F.col("_id")], max_bucket
     )
     buckets = (
-        capped.groupBy("bk.band", "bk.key")
+        capped.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
@@ -272,10 +327,15 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     vecs = base
+    pair_cos = (
+        make_cosine_pair_udf(dims)(F.col("_va"), F.col("_vb"))
+        if arrow
+        else cosine(F.col("_va"), F.col("_vb"))
+    )
     return (
         pairs.join(vecs.withColumnRenamed("_id", "id_a").withColumnRenamed("_v", "_va"), "id_a")
         .join(vecs.withColumnRenamed("_id", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("cos_sim", F.round(pair_cos, 6))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -328,6 +388,7 @@ def kmeans_fit(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's) — trains the IVF
     centroids :func:`ivf_topk` / :func:`assign_ivf_cell` consume,
@@ -366,14 +427,15 @@ def kmeans_fit(
     if not already:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        return _kmeans_fit_loop(df, k, n_iter, id_col, vec_col)
+        return _kmeans_fit_loop(df, k, n_iter, id_col, vec_col, arrow)
     finally:
         if not already:
             df.unpersist()
 
 
 def _kmeans_fit_loop(
-    df: DataFrame, k: int, n_iter: int, id_col: str, vec_col: str
+    df: DataFrame, k: int, n_iter: int, id_col: str, vec_col: str,
+    arrow: bool = True,
 ) -> list[list[float]]:
     import math
 
@@ -392,7 +454,16 @@ def _kmeans_fit_loop(
 
     cents = [l2([float(x) for x in r["_v"]]) for r in seeds]
     for _ in range(n_iter):
-        if k <= 64:
+        if arrow and k <= 4096:
+            # Arrow numpy assignment — bit-identical cells to the
+            # literal path; the kernel ships k·dims centroid doubles
+            # in the UDF closure (≤2 MB at this bound — past it the
+            # broadcast-join path below stays the large-k shape)
+            assigned = df.select(
+                make_assign_cell_sim_udf(cents)(F.col(vec_col))["cell"].alias("_cell"),
+                F.col(vec_col).alias("_v"),
+            )
+        elif k <= 64:
             # literal-expression assignment: O(k·dims) plan nodes,
             # zero extra shuffle
             assigned = df.select(
@@ -477,6 +548,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     tau: float = 0.99,
     max_cell: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then flagging
@@ -501,16 +573,26 @@ def semantic_dedup(
     both norms per pair, tripling the quadratic stage's flops
     (measured 2.7× on the 100k-vector stress). No cartesian
     (cell-key hash join); vectors ride the join exactly once per
-    side."""
-    nrm = norm(F.col(vec_col))
-    unit = F.when(
-        nrm != 0.0,
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm),
-    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0)))
+    side.
+
+    ``arrow=True`` (default) runs normalization, assignment, and the
+    per-pair dot through Arrow numpy kernels (bit-identical folds);
+    ``arrow=False`` is the pure-Column fallback."""
+    dims = len(centroids[0])
+    if arrow:
+        unit = make_unit_udf(dims)(F.col(vec_col))
+        cell = make_assign_cell_sim_udf(centroids)(F.col(vec_col))["cell"]
+    else:
+        nrm = norm(F.col(vec_col))
+        unit = F.when(
+            nrm != 0.0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm),
+        ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0)))
+        cell = assign_ivf_cell_sim(F.col(vec_col), centroids)["cell"]
     assigned = df.select(
         F.col(id_col).alias("_id"),
         unit.alias("_v"),
-        assign_ivf_cell_sim(F.col(vec_col), centroids)["cell"].alias("cell"),
+        cell.alias("cell"),
     )
     joinable = assigned
     if max_cell is not None:
@@ -525,10 +607,15 @@ def semantic_dedup(
     b = joinable.select(
         F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cell"
     )
+    pair_dot = (
+        make_dot_pair_udf(dims)(F.col("_va"), F.col("_vb"))
+        if arrow
+        else dot(F.col("_va"), F.col("_vb"))
+    )
     dups = (
         a.join(b, "cell")
         .where(F.col("_ida") < F.col("_idb"))
-        .where(F.round(dot(F.col("_va"), F.col("_vb")), 6) >= tau)
+        .where(F.round(pair_dot, 6) >= tau)
         .select(F.col("_idb").alias("_dup_id"))
         .distinct()
     )
@@ -540,6 +627,224 @@ def semantic_dedup(
             F.col("_dup_id").isNotNull().alias("semantic_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow kernels (bit-parity numpy folds)
+#
+# Catalyst runs higher-order-function lambdas (``aggregate``/
+# ``zip_with``/``transform``) INTERPRETED — measured ~3 ms/row-core
+# per ~1k float ops on the PQ encoder (BENCH/pq_encode_bench_r5.json,
+# 14-20× vs Arrow numpy). Every kernel below does the IDENTICAL
+# arithmetic as its Column twin: per-dimension EXPLICIT left folds in
+# float64 (``acc = acc + x_p·y_p`` for p = 0..dims-1 — numpy
+# elementwise ops are IEEE-754 doubles, so each accumulator's
+# operation sequence matches the ``aggregate(0.0, +)`` fold and the
+# unrolled SQL chain bit-for-bit), Python-evaluated literal norms
+# (``math.sqrt(sum(x*x for x in c))`` — the same literal the Column
+# path embeds via ``F.lit``), strict comparisons, and first-extremum
+# argmax/argmin (numpy returns the FIRST maximal index — the
+# ``array_position(sims, array_max(sims))`` tie-break). Rounding
+# (``F.round``, HALF_UP) always stays a JVM Column op over the kernel
+# output — numpy's banker's rounding never touches oracle-checked
+# values. Each call site keeps a pure-Column ``arrow=False`` fallback
+# (zero Python in the plan) for JVM-only contexts, the
+# :func:`pq_encode` discipline.
+# --------------------------------------------------------------------------
+
+
+def make_cosine_pair_udf(dims: int):
+    """Arrow pairwise cosine — the :func:`cosine` Column twin for the
+    near-dup verification join (the quadratic stage of
+    :func:`embedding_near_dup_pairs`). Zero-norm pairs score 0.0."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cosine_pair_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.asarray(a.tolist(), dtype=np.float64).reshape(len(a), dims)
+        B = np.asarray(b.tolist(), dtype=np.float64).reshape(len(b), dims)
+        d = np.zeros(len(a))
+        na = np.zeros(len(a))
+        nb = np.zeros(len(a))
+        for p in range(dims):  # explicit left folds — bit parity
+            d = d + A[:, p] * B[:, p]
+            na = na + A[:, p] * A[:, p]
+            nb = nb + B[:, p] * B[:, p]
+        denom = np.sqrt(na) * np.sqrt(nb)
+        nz = denom != 0.0
+        out = np.zeros(len(a))
+        np.divide(d, denom, out=out, where=nz)
+        return pd.Series(out)
+
+    return cosine_pair_udf
+
+
+def make_dot_pair_udf(dims: int):
+    """Arrow pairwise dot — the :func:`dot` Column twin for
+    :func:`semantic_dedup`'s unit-vector pair verification."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def dot_pair_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.asarray(a.tolist(), dtype=np.float64).reshape(len(a), dims)
+        B = np.asarray(b.tolist(), dtype=np.float64).reshape(len(b), dims)
+        d = np.zeros(len(a))
+        for p in range(dims):
+            d = d + A[:, p] * B[:, p]
+        return pd.Series(d)
+
+    return dot_pair_udf
+
+
+def make_unit_udf(dims: int):
+    """Arrow L2-normalizer — twin of the ``transform(x, x/‖x‖)``
+    Column in :func:`semantic_dedup` (zero vectors → zero vectors).
+    float32 → float64 widening is exact, so the per-element division
+    matches ``x.cast("double") / nrm`` bit-for-bit."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def unit_udf(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        X = np.asarray(v.tolist(), dtype=np.float64).reshape(len(v), dims)
+        acc = np.zeros(len(v))
+        for p in range(dims):
+            acc = acc + X[:, p] * X[:, p]
+        nv = np.sqrt(acc)
+        out = np.zeros_like(X)
+        np.divide(X, nv[:, None], out=out, where=(nv != 0.0)[:, None])
+        return pd.Series(list(out))
+
+    return unit_udf
+
+
+def make_band_keys_udf(bands: int, band_bits: int, dims: int):
+    """Arrow multi-band hyperplane keys — one batch pass computes ALL
+    ``bands`` bucket ids per vector (band ``b`` uses planes
+    ``b·band_bits .. (b+1)·band_bits − 1``, the
+    :func:`hyperplane_bucket` ``offset`` convention). Projections are
+    the same per-dimension left folds as the Column ``dot(vec, w)``;
+    the bit test is strict ``> 0`` and packing is MSB-first — integer
+    arithmetic, exact. Output aligns with
+    ``posexplode`` → ``(band, key)``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = bands * band_bits
+    signs = np.asarray(
+        [
+            [float(_hyperplane_sign(j, d)) for d in range(dims)]
+            for j in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys_udf(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        X = np.asarray(v.tolist(), dtype=np.float64).reshape(len(v), dims)
+        acc = np.zeros((len(v), n_planes))
+        for p in range(dims):  # same left fold per plane
+            acc = acc + X[:, p : p + 1] * signs[:, p]
+        bits = (acc > 0.0).astype(np.int64)
+        keys = np.zeros((len(v), bands), dtype=np.int64)
+        for band in range(bands):
+            for j in range(band_bits):  # acc*2 + b — MSB-first
+                keys[:, band] = keys[:, band] * 2 + bits[:, band * band_bits + j]
+        return pd.Series(list(keys))
+
+    return band_keys_udf
+
+
+def make_assign_cell_sim_udf(centroids: list[list[float]]):
+    """Arrow centroid assignment — the :func:`assign_ivf_cell_sim`
+    twin: ``struct(cell, sim)`` with the same Python-evaluated
+    centroid-norm literals, the same ``nv·nc ≠ 0`` guard, and numpy's
+    first-maximal argmax (= ``array_position(sims, array_max(sims))``
+    on exact ties)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dims = len(centroids[0])
+    k = len(centroids)
+    C = np.asarray(
+        [[float(x) for x in c] for c in centroids], dtype=np.float64
+    )  # (k, dims)
+    # identical literals to the Column path's F.lit(math.sqrt(...))
+    ncs = np.asarray(
+        [math.sqrt(sum(x * x for x in c)) for c in centroids], dtype=np.float64
+    )
+
+    @pandas_udf("struct<cell:int, sim:double>")
+    def assign_cell_sim_udf(v: pd.Series) -> pd.DataFrame:
+        if v.empty:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "sim": pd.Series([], dtype="float64")})
+        X = np.asarray(v.tolist(), dtype=np.float64).reshape(len(v), dims)
+        nacc = np.zeros(len(v))
+        dots = np.zeros((len(v), k))
+        for p in range(dims):
+            nacc = nacc + X[:, p] * X[:, p]
+            dots = dots + X[:, p : p + 1] * C[:, p]
+        denom = np.sqrt(nacc)[:, None] * ncs
+        sims = np.zeros_like(dots)
+        np.divide(dots, denom, out=sims, where=denom != 0.0)
+        cell = sims.argmax(axis=1)  # first maximal = lowest cell
+        return pd.DataFrame(
+            {
+                "cell": cell.astype(np.int32),
+                "sim": sims[np.arange(len(v)), cell],
+            }
+        )
+
+    return assign_cell_sim_udf
+
+
+def make_cosine_to_query_udf(query_vec: list[float]):
+    """Arrow cosine-to-literal-query — the :func:`brute_force_topk`
+    scan expression (same Python-evaluated ``‖q‖`` literal, same
+    folds, same zero guard)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    dims = len(query_vec)
+    Q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    nq = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    @pandas_udf(DoubleType())
+    def cosine_to_query_udf(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="float64")
+        X = np.asarray(v.tolist(), dtype=np.float64).reshape(len(v), dims)
+        d = np.zeros(len(v))
+        nacc = np.zeros(len(v))
+        for p in range(dims):
+            d = d + X[:, p] * Q[p]
+            nacc = nacc + X[:, p] * X[:, p]
+        denom = np.sqrt(nacc) * nq
+        out = np.zeros(len(v))
+        np.divide(d, denom, out=out, where=denom != 0.0)
+        return pd.Series(out)
+
+    return cosine_to_query_udf
 
 
 # --------------------------------------------------------------------------
@@ -822,6 +1127,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """PQ top-k with asymmetric distance (ADC) + exact re-rank:
     encode every vector (pure codegen), approximate its distance to
@@ -852,7 +1158,7 @@ def pq_topk(
     if code_col is not None:
         coded = df.withColumn("_code", F.col(code_col))
     else:
-        coded = pq_encode(df, codebooks, vec_col=vec_col, out_col="_code")
+        coded = pq_encode(df, codebooks, vec_col=vec_col, out_col="_code", arrow=arrow)
     adist = F.aggregate(
         F.zip_with(
             F.col("_code"),
@@ -867,7 +1173,7 @@ def pq_topk(
         .orderBy(F.col("_adist").asc(), F.col(id_col).asc())
         .limit(shortlist)
     )
-    return brute_force_topk(short, query_vec, k, id_col, vec_col)
+    return brute_force_topk(short, query_vec, k, id_col, vec_col, arrow=arrow)
 
 
 def ivfpq_topk(
@@ -882,6 +1188,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     cell_col: str | None = None,
     code_col: str | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Full IVF-PQ (the FAISS ``IVFx,PQy`` composition): coarse-probe
     the ``nprobe`` cells nearest the query, then PQ-ADC shortlist +
@@ -901,13 +1208,14 @@ def ivfpq_topk(
         range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
     )
     probe = order[:nprobe]
-    cell = (
-        F.col(cell_col)
-        if cell_col is not None
-        else assign_ivf_cell(F.col(vec_col), centroids)
-    )
+    if cell_col is not None:
+        cell = F.col(cell_col)
+    elif arrow:
+        cell = make_assign_cell_sim_udf(centroids)(F.col(vec_col))["cell"]
+    else:
+        cell = assign_ivf_cell(F.col(vec_col), centroids)
     probed = df.withColumn("_cell", cell).where(F.col("_cell").isin(probe))
     return pq_topk(
         probed, query_vec, codebooks, k=k, shortlist=shortlist,
-        id_col=id_col, vec_col=vec_col, code_col=code_col,
+        id_col=id_col, vec_col=vec_col, code_col=code_col, arrow=arrow,
     )

@@ -252,13 +252,34 @@ def main() -> int:
         "partial_count" in p18 or "partial count" in p18.lower(),
     )
 
+    # semantic_dedup now defaults to the Arrow numpy kernels (the
+    # pq_encode discipline): Python crossings must be Arrow-batched
+    # only (never row-at-a-time BatchEvalPython), still no cartesian;
+    # the arrow=False fallback stays pure JVM (audited below)
     p19 = plan_of(em.q_semantic_dedup(spark, sf))
     check(
-        "semantic_dedup_no_python_no_cartesian",
-        "EvalPython" not in p19
+        "semantic_dedup_arrow_only_no_cartesian",
+        "BatchEvalPython" not in p19
         and "CartesianProduct" not in p19
         and "BroadcastNestedLoopJoin" not in p19,
-        f"exchanges={p19.count('Exchange')}",
+        f"arrow={p19.count('ArrowEvalPython')} exchanges={p19.count('Exchange')}",
+    )
+    from solrizer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    _cents4 = [
+        [((j * 13 + d * 5) % 9 - 4) / 4.0 for d in range(64)] for j in range(4)
+    ]
+    p19b = plan_of(semantic_dedup(emb, _cents4, tau=0.99, arrow=False))
+    p19c = plan_of(
+        embedding_near_dup_pairs(emb, threshold=0.99, persist_base=False, arrow=False)
+    )
+    check(
+        "similarity_column_fallbacks_pure_jvm",
+        all("EvalPython" not in p and "CartesianProduct" not in p for p in (p19b, p19c)),
+        f"python={p19b.count('EvalPython')},{p19c.count('EvalPython')}",
     )
 
     p20 = plan_of(em.q_importance_resample(spark, sf))
@@ -300,7 +321,7 @@ def main() -> int:
     p23 = plan_of(
         pq_topk(
             pq_encode(emb, _books, arrow=False), em._QUERY_VEC, _books,
-            k=10, shortlist=64, code_col="pq_code",
+            k=10, shortlist=64, code_col="pq_code", arrow=False,
         )
     )
     check(
