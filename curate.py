@@ -66,8 +66,8 @@ from solrizer_spark.session import get_spark
 
 KNOWN_OPS = (
     "normalize", "quality", "fluency", "langs", "linededup", "substrdedup",
-    "canonicaldedup", "exactdedup", "neardedup", "basededup", "decontaminate",
-    "scrub", "mix", "tokenbudget", "ppltier", "dsir", "chunk",
+    "canonicaldedup", "exactdedup", "neardedup", "basededup", "semdedup",
+    "decontaminate", "scrub", "mix", "tokenbudget", "ppltier", "dsir", "chunk",
 )
 
 
@@ -207,6 +207,40 @@ def apply_op(
             df, base.select(id_col, text_col), id_col=id_col,
             text_col=text_col, threshold=args.near_threshold,
         )
+    if op == "semdedup":
+        # SemDeDup (Abbas et al. 2023) at the pipeline surface: train
+        # spherical k-means in-engine, flag within-cell embedding
+        # near-dups, drop them. Embeddings come from an input column
+        # or a (id, embedding) side parquet joined on id_col; docs
+        # WITHOUT an embedding are in no cell and pass through.
+        from solrizer_spark.operators.similarity import kmeans_fit, semantic_dedup
+
+        emb_col = args.embedding_col
+        if args.embeddings_path:
+            side = df.sparkSession.read.parquet(args.embeddings_path).select(
+                F.col(args.embedding_id_col or id_col).alias(id_col),
+                F.col(emb_col),
+            )
+            vecs = df.select(id_col).join(side, id_col, "inner")
+        else:
+            vecs = df.select(id_col, emb_col)
+        vecs = vecs.where(
+            F.col(emb_col).isNotNull() & (F.size(emb_col) > 0)
+        ).persist()  # scanned 1+n_iter times by Lloyd's, then assignment
+        persisted.append(vecs)
+        n_vecs = vecs.count()
+        if n_vecs == 0:
+            return df  # nothing embeddable — no-op, not an error
+        cents = kmeans_fit(
+            vecs, k=min(args.semdedup_cells, n_vecs),
+            n_iter=args.semdedup_iters, id_col=id_col, vec_col=emb_col,
+        )
+        flags = semantic_dedup(
+            vecs, cents, id_col=id_col, vec_col=emb_col,
+            tau=args.semdedup_tau, max_cell=args.semdedup_max_cell,
+        )
+        drop = flags.where(F.col("semantic_dup")).select(id_col)
+        return df.join(drop, id_col, "left_anti")
     if op == "decontaminate":
         from solrizer_spark.operators.decontam import flag_contaminated
 
@@ -302,10 +336,25 @@ def run_curate(spark, args) -> dict:
                     f"--base-path table is missing column {col!r} "
                     f"(has {sorted(base_cols)})"
                 )
+    if "semdedup" in ops and args.embeddings_path:
+        # validate the side table BEFORE the expensive upstream ops run
+        side_cols = spark.read.parquet(args.embeddings_path).columns
+        for col in (args.embedding_id_col or args.id_col, args.embedding_col):
+            if col not in side_cols:
+                raise ValueError(
+                    f"--embeddings-path table is missing column {col!r} "
+                    f"(has {sorted(side_cols)})"
+                )
     df = spark.read.parquet(args.input)
     for col in (args.id_col, args.text_col):
         if col not in df.columns:
             raise ValueError(f"input is missing column {col!r} (has {sorted(df.columns)})")
+    if "semdedup" in ops and not args.embeddings_path:
+        if args.embedding_col not in df.columns:
+            raise ValueError(
+                f"op 'semdedup' needs --embeddings-path or an input column "
+                f"{args.embedding_col!r} (has {sorted(df.columns)})"
+            )
     stats: dict = {"ops": []}
     if args.stats == "full":
         stats["rows_in"] = df.count()
@@ -374,6 +423,23 @@ def main() -> None:
     ap.add_argument("--base-index", default=None,
                     help="basededup op: write_lsh_index directory (increment-"
                     "only signaturing; takes precedence over --base-path)")
+    ap.add_argument("--embeddings-path", default=None,
+                    help="semdedup op: (id, embedding) side parquet joined "
+                         "on --id-col when the input has no embedding column")
+    ap.add_argument("--embedding-col", default="embedding",
+                    help="semdedup op: embedding array column name")
+    ap.add_argument("--embedding-id-col", default=None,
+                    help="semdedup op: id column in --embeddings-path "
+                         "(defaults to --id-col)")
+    ap.add_argument("--semdedup-cells", type=int, default=16,
+                    help="semdedup op: k-means cells (grow with corpus — "
+                         "the within-cell join is the quadratic unit)")
+    ap.add_argument("--semdedup-tau", type=float, default=0.99,
+                    help="semdedup op: cosine threshold for semantic dups")
+    ap.add_argument("--semdedup-max-cell", type=int, default=256,
+                    help="semdedup op: per-cell join-participant cap")
+    ap.add_argument("--semdedup-iters", type=int, default=3,
+                    help="semdedup op: Lloyd iterations")
     ap.add_argument("--mix-source-col", default="lang")
     ap.add_argument("--mix-temperature", type=float, default=0.7)
     ap.add_argument("--budget-tokens", type=int, default=1_000_000,

@@ -549,6 +549,7 @@ def semantic_dedup(
     tau: float = 0.99,
     max_cell: int | None = None,
     arrow: bool = True,
+    persist_assigned: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then flagging
@@ -594,6 +595,11 @@ def semantic_dedup(
         unit.alias("_v"),
         cell.alias("cell"),
     )
+    if persist_assigned:
+        # feeds BOTH pair-join sides and the final dup-flag join —
+        # without it, normalization + k·dims assignment run 3× per
+        # row (the embedding_near_dup_pairs persist_base rationale)
+        assigned = assigned.persist()
     joinable = assigned
     if max_cell is not None:
         from solrizer_spark.operators.dedup import cap_bucket_rows

@@ -22,6 +22,9 @@ def _args(**kw) -> argparse.Namespace:
         dsir_target_lang="en", dsir_keep_frac=0.5, dsir_buckets=128,
         budget_tokens=1_000_000, budget_exact=False,
         ppl_tiers=3, ppl_keep_tiers=2, ppl_sample_fraction=1.0,
+        embeddings_path=None, embedding_col="embedding",
+        embedding_id_col=None, semdedup_cells=2, semdedup_tau=0.99,
+        semdedup_max_cell=256, semdedup_iters=2,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -355,3 +358,46 @@ def test_curate_ppltier(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert stats["rows_out"] < 9, "tail tier must be dropped"
     assert set(range(6)) <= kept, "common-bigram docs are head tier"
+
+
+def test_curate_semdedup_side_table(spark, tmp_path):
+    """semdedup op: the higher-id doc of an embedding near-dup pair is
+    dropped; docs without an embedding row pass through untouched."""
+    import random
+
+    from curate import run_curate
+
+    rows = [(i, f"document number {i} with its own words", "en") for i in range(8)]
+    path = str(tmp_path / "sem_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(path)
+
+    rng = random.Random(9)
+    base = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(7)}
+    base[5] = [x * 1.0001 for x in base[1]]  # planted semantic dup of 1
+    emb_path = str(tmp_path / "sem_emb")
+    spark.createDataFrame(  # doc 7 has NO embedding row
+        [(i, v) for i, v in base.items()], "doc_id long, embedding array<float>"
+    ).write.parquet(emb_path)
+
+    out = str(tmp_path / "sem_out")
+    stats = run_curate(
+        spark,
+        _args(input=path, output=out, ops="semdedup",
+              embeddings_path=emb_path, semdedup_cells=2),
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 5 not in kept, "planted semantic dup must be dropped"
+    assert kept == {0, 1, 2, 3, 4, 6, 7}, kept
+    assert stats["ops"][0]["rows_after"] == 7
+
+
+def test_curate_semdedup_requires_embeddings(spark, tmp_path, docs_table):
+    from curate import run_curate
+
+    with pytest.raises(ValueError, match="semdedup"):
+        run_curate(
+            spark,
+            _args(input=docs_table, output=str(tmp_path / "o"), ops="semdedup"),
+        )

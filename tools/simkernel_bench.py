@@ -93,6 +93,16 @@ def main() -> int:
     vecs = build_vectors(spark, n).repartition(64).persist()
     total = vecs.count()  # materialize — timings see cached doubles only
 
+    # near-dup leg gets its own right-sized table: 12-bit bands keep
+    # buckets under the 64-id cap at this n (≈8 rows/bucket), so the
+    # planted dup pairs SURVIVE capping and the pair-verification
+    # kernel does real work (~1M candidate pairs) — with the default
+    # 8-bit bands at 100k+, the ascending-id cap drops every planted
+    # copy (ids sit at +n) and verification times an empty relation
+    n_nd = min(n, 30_000)
+    vecs_nd = build_vectors(spark, n_nd).repartition(32).persist()
+    total_nd = vecs_nd.count()
+
     qvec = [((d * 37) % 19 - 9) / 9.0 for d in range(DIMS)]
     cents = kmeans_fit(vecs, k=8, n_iter=2)
 
@@ -101,7 +111,7 @@ def main() -> int:
             vecs, qvec, k=100, arrow=arrow
         ),
         "near_dup_pairs": lambda arrow: embedding_near_dup_pairs(
-            vecs, threshold=0.99, dims=DIMS, arrow=arrow
+            vecs_nd, threshold=0.99, dims=DIMS, band_bits=12, arrow=arrow
         ),
         "semantic_dedup": lambda arrow: semantic_dedup(
             vecs, cents, tau=0.99, max_cell=256, arrow=arrow
@@ -111,6 +121,7 @@ def main() -> int:
     out = {
         "metric": "similarity Arrow kernels vs interpreted Column HOFs",
         "n_vectors": total,
+        "n_vectors_near_dup": total_nd,
         "dims": DIMS,
         "cores": cores,
         "legs": {},
@@ -122,6 +133,7 @@ def main() -> int:
         assert (a_fp, a_n) == (c_fp, c_n), (
             f"{name}: PATHS DIVERGE arrow=({a_fp},{a_n}) column=({c_fp},{c_n})"
         )
+        assert a_n > 0, f"{name}: empty output relation — leg mis-sized"
         out["legs"][name] = {
             "rows_out": a_n,
             "arrow_s": round(a_s, 3),
