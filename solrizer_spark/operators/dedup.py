@@ -30,6 +30,7 @@ candidates only.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -277,7 +278,67 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(text: Column | str, bits: int = 32) -> Column:
+def make_simhash_udf(bits: int = 32):
+    """Arrow SimHash — integer-exact twin of the :func:`simhash`
+    Column fold (the similarity-kernel discipline, but with NO float
+    parity burden: token hash = ``int(md5(tok)[:15], 16)``, balances
+    are ±1 integer sums, the output is a bit-OR — every step exact).
+
+    Vectorization: token md5s are memoized per Arrow batch (web-corpus
+    vocabulary ≪ token count, so hashlib runs once per distinct
+    token), then ONE ``(tokens × bits)`` numpy bit matrix and an
+    ``add.reduceat`` over doc boundaries fold all balances — no
+    per-token Python beyond the split and the memo lookup."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        if texts.empty:
+            return pd.Series([], dtype="object")
+        memo: dict[str, int] = {}
+
+        def h60(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                memo[tok] = v
+            return v
+
+        docs = [None if t is None else t.split(" ") for t in texts]
+        lens = np.asarray([0 if d is None else len(d) for d in docs])
+        flat = np.fromiter(
+            (h60(tok) for d in docs if d is not None for tok in d),
+            dtype=np.int64,
+        )
+        if len(flat):
+            bitmat = ((flat[:, None] >> shifts) & 1).astype(np.int64)
+            offsets = np.zeros(len(docs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # reduceat needs strictly-valid segment starts; null/empty
+            # docs (len 0) are masked out afterwards
+            nonzero = lens > 0
+            balances = np.zeros((len(docs), bits), dtype=np.int64)
+            if nonzero.any():
+                seg = np.add.reduceat(2 * bitmat - 1, offsets[nonzero], axis=0)
+                balances[nonzero] = seg
+            out_vals = ((balances > 0).astype(np.int64) << shifts).sum(axis=1)
+        else:
+            out_vals = np.zeros(len(docs), dtype=np.int64)
+        return pd.Series(
+            [None if d is None else int(v) for d, v in zip(docs, out_vals)],
+            dtype="object",
+        )
+
+    return simhash_udf
+
+
+def simhash(text: Column | str, bits: int = 32, arrow: bool = True) -> Column:
     """SimHash over word tokens as a single map-side expression.
 
     Token hash = 60-bit md5 prefix (DuckDB-reproducible). For each bit
@@ -291,12 +352,19 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     per bit — 32 redundant md5 passes over every token). Balance sums
     are integers, so the fold order can't change the fingerprint.
 
+    ``arrow=True`` (default) computes the identical integers through
+    the memoized-md5 numpy kernel (:func:`make_simhash_udf` —
+    interpreted ``aggregate``/``zip_with`` folds are the documented
+    hot-spot class); ``arrow=False`` is the pure-Column fallback.
+
     NULL text yields a NULL fingerprint — null-text rows (parse
     failures) are deliberately EXCLUDED from near-dup pairing rather
     than collapsing into one degenerate all-nulls bucket (the exact
     pathological cluster the bucket caps exist to defuse).
     """
     col = F.col(text) if isinstance(text, str) else text
+    if arrow:
+        return make_simhash_udf(bits)(col)
     toks = F.split(col, " ")
     hashes = F.transform(toks, md5_hash60)
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])

@@ -394,8 +394,10 @@ def kmeans_fit(
     centroids :func:`ivf_topk` / :func:`assign_ivf_cell` consume,
     closing the "centroids come from somewhere" seam in-engine.
 
-    Scale shape: per round, assignment is the pure-codegen
-    :func:`assign_ivf_cell` expression; the update is
+    Scale shape: per round, assignment is the Arrow numpy kernel
+    (:func:`make_assign_cell_sim_udf`, bit-identical to the
+    pure-codegen :func:`assign_ivf_cell` literal expression — the
+    ``arrow=False`` fallback); the update is
     posexplode → groupBy(cell, pos) partial-aggregated sums, so the
     shuffle carries at most ``partitions × k × dims`` rows and only
     ``k × dims`` floats ever reach the driver — corpus size never

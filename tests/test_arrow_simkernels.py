@@ -222,3 +222,54 @@ def test_kmeans_fit_arrow_matches_column_assignments(emb):
         assign_ivf_cell_sim(F.col("embedding"), cc)["cell"].alias("c"),
     ).collect()
     assert all(r["a"] == r["c"] for r in rows)
+
+
+def test_simhash_arrow_bitparity(spark):
+    """dedup.simhash: the memoized-md5 numpy kernel must equal the
+    Column fold exactly (all-integer arithmetic) — including null
+    text, empty text, runs of spaces, and repeated docs."""
+    import random as _r
+
+    from solrizer_spark.operators.dedup import simhash
+
+    rng = _r.Random(21)
+    words = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 60))))
+        for i in range(80)
+    ] + [(100, None), (101, ""), (102, "a  b   c "), (103, "w1 w2 w3")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        simhash("text", arrow=True).alias("a"),
+        simhash("text", arrow=False).alias("c"),
+    ).collect()
+    assert all(r["a"] == r["c"] for r in out)
+    assert next(r["a"] for r in out if r["doc_id"] == 100) is None
+
+
+def test_simhash_pairs_arrow_equals_column(spark):
+    from solrizer_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i}") for i in range(20)] + [
+        (100, base + " tail1"),  # exact text dup of 1 -> hamming 0
+        (200, "a wholly different document about completely other topics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import solrizer_spark.operators.dedup as dd
+
+    got = sorted(
+        tuple(r) for r in simhash_near_dup_pairs(df, max_hamming=3).collect()
+    )
+    # force the Column fingerprint path through the same pair pipeline
+    orig = dd.simhash
+    try:
+        dd.simhash = lambda t, bits=32, arrow=True: orig(t, bits, arrow=False)
+        want = sorted(
+            tuple(r) for r in simhash_near_dup_pairs(df, max_hamming=3).collect()
+        )
+    finally:
+        dd.simhash = orig
+    assert got == want
+    assert (1, 100, 0) in [(a, b, h) for a, b, h in got]
