@@ -37,6 +37,13 @@ Ops (applied in the order given):
                   (a ``write_lsh_index`` directory) only the
                   increment is signatured — the repeated-increment
                   fast path
+* ``bloomdedup``  drop docs whose text hits a broadcast Bloom filter
+                  of the base corpus (--bloom-path saved filter, or
+                  built from --base-path at --bloom-fpp). Exact "no
+                  duplicate survives" guarantee, ~fpp of new rows
+                  lost; add --bloom-exact to anti-join only the
+                  "maybe" slice and lose nothing. Zero shuffle on the
+                  definite-new path — the 10^12-base increment mode
 * ``decontaminate`` drop docs sharing an 8-gram with --benchmark-file
                   (one benchmark text per line)
 * ``scrub``       PII redaction (emails/IPv4/phones)
@@ -66,7 +73,8 @@ from solrizer_spark.session import get_spark
 
 KNOWN_OPS = (
     "normalize", "quality", "fluency", "langs", "linededup", "substrdedup",
-    "canonicaldedup", "exactdedup", "neardedup", "basededup", "semdedup",
+    "canonicaldedup", "exactdedup", "neardedup", "basededup", "bloomdedup",
+    "semdedup",
     "decontaminate", "scrub", "mix", "tokenbudget", "ppltier", "dsir", "chunk",
 )
 
@@ -207,6 +215,39 @@ def apply_op(
             df, base.select(id_col, text_col), id_col=id_col,
             text_col=text_col, threshold=args.near_threshold,
         )
+    if op == "bloomdedup":
+        # cross-increment EXACT dedup by broadcast Bloom filter: zero
+        # join for definite-new rows. --bloom-path loads a saved
+        # filter (the amortized production shape); otherwise the
+        # filter is built here over --base-path's text column. With
+        # --bloom-exact the base is anti-joined for the ~fpp "maybe"
+        # slice so no genuinely-new row is ever lost.
+        from solrizer_spark.operators.bloom import (
+            bloom_build,
+            bloom_dedup,
+            bloom_dedup_exact,
+            load_bloom,
+        )
+
+        spark = df.sparkSession
+        if args.bloom_path:
+            bf = load_bloom(spark, args.bloom_path)
+        else:
+            base = spark.read.parquet(args.base_path).select(text_col)
+            n = base.count()
+            bf = bloom_build(
+                base,
+                text_col,
+                expected_items=max(n, 1),
+                fpp=args.bloom_fpp,
+                strategy="shuffle" if n > 20_000_000 else "local",
+            )
+        if args.bloom_exact:
+            if not args.base_path:
+                raise ValueError("--bloom-exact requires --base-path")
+            base = spark.read.parquet(args.base_path).select(text_col)
+            return bloom_dedup_exact(df, base, text_col, bf)
+        return bloom_dedup(df, text_col, bf)
     if op == "semdedup":
         # SemDeDup (Abbas et al. 2023) at the pipeline surface: train
         # spherical k-means in-engine, flag within-cell embedding
@@ -336,6 +377,18 @@ def run_curate(spark, args) -> dict:
                     f"--base-path table is missing column {col!r} "
                     f"(has {sorted(base_cols)})"
                 )
+    if "bloomdedup" in ops:
+        if not args.bloom_path and not args.base_path:
+            raise ValueError(
+                "op 'bloomdedup' requires --bloom-path or --base-path"
+            )
+        if not args.bloom_path:
+            base_cols = spark.read.parquet(args.base_path).columns
+            if args.text_col not in base_cols:
+                raise ValueError(
+                    f"--base-path table is missing column {args.text_col!r} "
+                    f"(has {sorted(base_cols)})"
+                )
     if "semdedup" in ops and args.embeddings_path:
         # validate the side table BEFORE the expensive upstream ops run
         side_cols = spark.read.parquet(args.embeddings_path).columns
@@ -423,6 +476,15 @@ def main() -> None:
     ap.add_argument("--base-index", default=None,
                     help="basededup op: write_lsh_index directory (increment-"
                     "only signaturing; takes precedence over --base-path)")
+    ap.add_argument("--bloom-path", default=None,
+                    help="bloomdedup op: saved save_bloom directory (skips "
+                    "the build; takes precedence over --base-path)")
+    ap.add_argument("--bloom-fpp", type=float, default=0.001,
+                    help="bloomdedup op: filter false-positive rate when "
+                    "building from --base-path (default 0.001)")
+    ap.add_argument("--bloom-exact", action="store_true",
+                    help="bloomdedup op: anti-join the base for bloom hits "
+                    "so no genuinely-new row is lost (requires --base-path)")
     ap.add_argument("--embeddings-path", default=None,
                     help="semdedup op: (id, embedding) side parquet joined "
                          "on --id-col when the input has no embedding column")

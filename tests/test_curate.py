@@ -22,6 +22,7 @@ def _args(**kw) -> argparse.Namespace:
         dsir_target_lang="en", dsir_keep_frac=0.5, dsir_buckets=128,
         budget_tokens=1_000_000, budget_exact=False,
         ppl_tiers=3, ppl_keep_tiers=2, ppl_sample_fraction=1.0,
+        bloom_path=None, bloom_fpp=0.001, bloom_exact=False,
         embeddings_path=None, embedding_col="embedding",
         embedding_id_col=None, semdedup_cells=2, semdedup_tau=0.99,
         semdedup_max_cell=256, semdedup_iters=2,
@@ -401,3 +402,53 @@ def test_curate_semdedup_requires_embeddings(spark, tmp_path, docs_table):
             spark,
             _args(input=docs_table, output=str(tmp_path / "o"), ops="semdedup"),
         )
+
+
+def test_curate_bloomdedup(spark, tmp_path):
+    """bloomdedup: increment rows duplicating the base corpus's text
+    are dropped via the broadcast filter; new rows survive; the
+    --bloom-exact form loses nothing even at a coarse fpp; a saved
+    filter (--bloom-path) gives the same answer as building in-op."""
+    from curate import run_curate
+    from solrizer_spark.operators.bloom import bloom_build, save_bloom
+
+    base_rows = [(i, f"base document number {i} with stable text", "en")
+                 for i in range(200)]
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        base_rows, "doc_id long, text string, lang string"
+    ).write.parquet(base_path)
+
+    inc_rows = (
+        [(1000 + i, f"base document number {i} with stable text", "en")
+         for i in range(50)]  # duplicates of the base
+        + [(2000 + i, f"fresh increment document {i} entirely new", "en")
+           for i in range(50)]
+        + [(3000, None, "en")]
+    )
+    inc_path = str(tmp_path / "inc")
+    spark.createDataFrame(
+        inc_rows, "doc_id long, text string, lang string"
+    ).write.parquet(inc_path)
+
+    out = str(tmp_path / "out1")
+    run_curate(spark, _args(input=inc_path, output=out, ops="bloomdedup",
+                            base_path=base_path, bloom_exact=True))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {2000 + i for i in range(50)} | {3000}
+
+    # saved-filter path: identical outcome without touching the base
+    bf = bloom_build(spark.read.parquet(base_path), "text",
+                     expected_items=200, fpp=0.001)
+    bloom_dir = str(tmp_path / "bloomf")
+    save_bloom(spark, bf, bloom_dir)
+    out2 = str(tmp_path / "out2")
+    run_curate(spark, _args(input=inc_path, output=out2, ops="bloomdedup",
+                            bloom_path=bloom_dir))
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert not kept2.intersection({1000 + i for i in range(50)})
+    assert {2000 + i for i in range(50)} <= kept2 | {3000}
+
+    with pytest.raises(ValueError, match="bloomdedup"):
+        run_curate(spark, _args(input=inc_path, output=str(tmp_path / "o3"),
+                                ops="bloomdedup"))
