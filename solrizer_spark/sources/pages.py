@@ -44,21 +44,38 @@ def write_table(
     fmt: str = "auto",
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    rebalance: bool = False,
+    max_records_per_file: int = 0,
 ) -> None:
     """Write a table (docs / manifests / metrics).
 
     parquet path: dynamic partition overwrite so a resumed run only
     replaces the buckets it recomputed (idempotent rerun semantics);
     iceberg: ``createOrReplace`` / ``append`` on the catalog table.
+
+    ``rebalance=True`` (with ``partition_by``) inserts an AQE
+    REBALANCE hint on the partition columns before the write — the
+    production layout fix for hive-style partitioned sinks: without
+    it every write task emits a file into every partition directory
+    it holds rows for (tasks × buckets files — tens of millions at
+    10^12 docs); with it AQE regroups rows by bucket, splitting hot
+    buckets at the advisory partition size and coalescing cold ones,
+    so file count tracks data size instead of task count.
+    ``max_records_per_file`` bounds individual files as belt and
+    braces (0 = Spark default, unbounded).
     """
     if fmt == "auto":
         fmt = "iceberg" if ("." in target and "/" not in target) else "parquet"
+    if rebalance and partition_by:
+        df = df.hint("rebalance", *partition_by)
     if fmt == "iceberg":
         writer = df.writeTo(target)
         if partition_by:
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        # (no maxRecordsPerFile analog here: Iceberg sizes files via
+        # its own write.target-file-size-bytes table property)
         if mode == "append":
             writer.append()
         else:
@@ -67,6 +84,8 @@ def write_table(
     w = df.write.mode(mode)
     if mode == "overwrite":
         w = w.option("partitionOverwriteMode", "dynamic")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(target)

@@ -453,3 +453,20 @@ def test_job_outline_surface(spark, corpus_dir, tmp_path):
         F.coalesce(F.size("outline"), F.lit(0)) != 0
     ).count() == 0
     j.unpersist()
+
+
+def test_write_rebalance_bounds_file_count(spark, corpus_dir, job_output):
+    """The default docs write regroups rows by partition_key (AQE
+    REBALANCE), so the sink holds at most ~one file per non-empty
+    bucket — not tasks × buckets (the 10^12-doc small-files hazard;
+    measured 795 files for a 1000-doc run without the hint)."""
+    import glob
+
+    out, _ = job_output
+    files = glob.glob(os.path.join(out, "docs", "**", "*.parquet"),
+                      recursive=True)
+    buckets = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert len(buckets) <= 16
+    # at most one data file per bucket at this tiny scale (AQE may
+    # leave a bucket split only when it exceeds the advisory size)
+    assert len(files) <= len(buckets) + 2, sorted(files)[:20]
