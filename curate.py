@@ -230,6 +230,10 @@ def apply_op(
         )
 
         spark = df.sparkSession
+        if args.bloom_index:
+            from solrizer_spark.operators.bloom import bloom_index_dedup
+
+            return bloom_index_dedup(df, text_col, args.bloom_index)
         if args.bloom_path:
             bf = load_bloom(spark, args.bloom_path)
         else:
@@ -378,11 +382,12 @@ def run_curate(spark, args) -> dict:
                     f"(has {sorted(base_cols)})"
                 )
     if "bloomdedup" in ops:
-        if not args.bloom_path and not args.base_path:
+        if not args.bloom_index and not args.bloom_path and not args.base_path:
             raise ValueError(
-                "op 'bloomdedup' requires --bloom-path or --base-path"
+                "op 'bloomdedup' requires --bloom-index, --bloom-path or "
+                "--base-path"
             )
-        if not args.bloom_path:
+        if not args.bloom_index and not args.bloom_path:
             base_cols = spark.read.parquet(args.base_path).columns
             if args.text_col not in base_cols:
                 raise ValueError(
@@ -479,6 +484,10 @@ def main() -> None:
     ap.add_argument("--bloom-path", default=None,
                     help="bloomdedup op: saved save_bloom directory (skips "
                     "the build; takes precedence over --base-path)")
+    ap.add_argument("--bloom-index", default=None,
+                    help="bloomdedup op: sharded bloom_index_build directory "
+                    "(the >=10^10-item form; per-task memory = one shard; "
+                    "takes precedence over --bloom-path/--base-path)")
     ap.add_argument("--bloom-fpp", type=float, default=0.001,
                     help="bloomdedup op: filter false-positive rate when "
                     "building from --base-path (default 0.001)")

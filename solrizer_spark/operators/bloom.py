@@ -45,13 +45,15 @@ see one giant cell, and two build strategies cover the size range:
   (a few GiB ≈ 10^9-10^10 items). Both strategies are pinned
   bit-identical by test.
 
-Beyond one broadcastable filter (≳10^10 base items), the production
-path is key-space sharding: split the base by a hash prefix into S
-independent filters, repartition the increment by the same prefix,
-and check each partition against only its shard — same machinery,
-S× the capacity, at the cost of one increment-side shuffle. The
-chunked layout here is storage only (one logical array); prefix
-sharding composes on top by building S `BloomFilter`s.
+Beyond one broadcastable filter (≳10^10 base items), use the SHARDED
+INDEX form (`bloom_index_build` / `bloom_index_dedup`): values route
+to one of S independent filters by a hash router, the build writes
+each shard's chunks straight into a parquet side table (no filter
+bytes pass through the driver — total index size is bounded only by
+storage), and the probe repartitions the increment by the same
+router so each task loads only ITS shard's chunks (worker-local
+pyarrow read, cached per executor process). Per-task memory = one
+shard, at the cost of one increment-side shuffle.
 
 Hashing: Kirsch-Mitzenmacher double hashing — position_i =
 (h1 + i·h2) mod m with h1 = xxhash64(value, seed),
@@ -87,6 +89,9 @@ __all__ = [
     "bloom_dedup_exact",
     "save_bloom",
     "load_bloom",
+    "bloom_index_build",
+    "bloom_index_might_contain",
+    "bloom_index_dedup",
 ]
 
 #: storage chunk size — 16 MiB keeps every Arrow/pickle cell small
@@ -487,4 +492,227 @@ def load_bloom(spark: SparkSession, path: str) -> BloomFilter:
         first["seed"],
         first["n_items"],
         tuple(bytes(r["chunk"]) for r in rows),
+    )
+
+
+# --------------------------------------------------------------------------
+# sharded bloom index: past one broadcastable filter (~10^10 items)
+# --------------------------------------------------------------------------
+#
+# One filter stops working when its bit array outgrows the broadcast /
+# executor-memory budget (~10^10 items at 1% ≈ 12 GB). The production
+# shape past that is key-space sharding: route every value to one of S
+# independent filters by a hash prefix, build each shard's bit array
+# DIRECTLY into a parquet side table (the driver never holds the index
+# — total index size is unbounded), and at query time repartition the
+# increment by the same router so each task loads only ITS shard's
+# chunks (worker-local pyarrow read, cached per executor process).
+# Per-task memory = one shard, not the index.
+
+#: router seed offset — distinct from the h1/h2 position seeds so the
+#: shard routing is independent of the in-shard bit positions
+_ROUTER_OFFSET = 0x51_7C_C1B7
+
+#: per-worker cache: (index_path, shard, chunk_id) -> bytes. Lives for
+#: the executor python process, so repeated batches of the same shard
+#: read the side table once.
+_SHARD_CHUNK_CACHE: dict = {}
+
+
+def _router(col: Column, seed: int, n_shards: int) -> Column:
+    return F.pmod(
+        F.xxhash64(col, F.lit(seed + _ROUTER_OFFSET)), F.lit(n_shards)
+    ).cast("int")
+
+
+def bloom_index_build(
+    df: DataFrame,
+    col: str,
+    index_path: str,
+    n_shards: int,
+    expected_items: int,
+    fpp: float = 0.01,
+    seed: int = 0,
+) -> dict:
+    """Build an S-shard bloom index over ``df[col]`` straight into a
+    parquet side table at ``index_path`` — no filter bytes ever pass
+    through the driver, so total index size is bounded only by
+    storage. Each shard is an independent filter sized for
+    ``expected_items / n_shards`` values at ``fpp``.
+
+    Layout: ``{index_path}/chunks`` — rows (shard, chunk_id, chunk);
+    absent (shard, chunk_id) pairs are all-zero by construction and
+    are reconstructed as zeros at probe time.
+    ``{index_path}/meta`` — one row of parameters.
+
+    The build shuffles (shard, chunk, offset) int rows — n·k·16 bytes,
+    the same volume discipline as the ``shuffle`` strategy — and each
+    ``applyInPandas`` group materializes exactly one 16 MiB chunk.
+    """
+    per_shard = max(1, math.ceil(expected_items / n_shards))
+    bits_shard, k = bloom_params(per_shard, fpp)
+    nbytes_shard = bits_shard // 8
+    chunk_bits = CHUNK_BYTES * 8
+
+    h1, h2 = _hash_cols(F.col(col), seed)
+    hashed = df.where(F.col(col).isNotNull()).select(
+        h1.alias("h1"),
+        h2.alias("h2"),
+        _router(F.col(col), seed, n_shards).alias("shard"),
+    )
+
+    def explode_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = _positions(
+                pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), k, bits_shard
+            )
+            n, kk = pos.shape
+            yield pd.DataFrame(
+                {
+                    "shard": np.repeat(
+                        pdf["shard"].to_numpy(np.int32), kk
+                    ),
+                    "chunk_id": (pos.ravel() // np.uint64(chunk_bits)).astype(
+                        np.int32
+                    ),
+                    "off": (pos.ravel() % np.uint64(chunk_bits)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    def build_chunk(key, pdf):
+        shard, chunk_id = int(key[0]), int(key[1])
+        size = min(CHUNK_BYTES, nbytes_shard - chunk_id * CHUNK_BYTES)
+        bitmap = np.zeros(size, dtype=np.uint8)
+        off = pdf["off"].to_numpy().view(np.uint64)
+        np.bitwise_or.at(
+            bitmap,
+            (off >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (off & np.uint64(7)).astype(np.uint8)),
+        )
+        return pd.DataFrame(
+            {"shard": [shard], "chunk_id": [chunk_id], "chunk": [bitmap.tobytes()]}
+        )
+
+    (
+        hashed.mapInPandas(explode_positions, "shard int, chunk_id int, off long")
+        .groupBy("shard", "chunk_id")
+        .applyInPandas(build_chunk, "shard int, chunk_id int, chunk binary")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/chunks")
+    )
+    spark = df.sparkSession
+    meta = {
+        "n_shards": n_shards,
+        "bits_shard": bits_shard,
+        "k": k,
+        "seed": seed,
+        "fpp": fpp,
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "n_shards int, bits_shard long, k int, seed long, fpp double",
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    return meta
+
+
+def _load_shard_chunks(index_path: str, shard: int) -> dict[int, np.ndarray]:
+    """Worker-local read of one shard's chunk rows (pyarrow, filtered
+    scan on the shard column), cached per executor process."""
+    key = (index_path, shard)
+    cached = _SHARD_CHUNK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import pyarrow.dataset as ds
+
+    table = ds.dataset(f"{index_path}/chunks", format="parquet").to_table(
+        filter=ds.field("shard") == shard
+    )
+    chunks = {
+        int(cid): np.frombuffer(raw, dtype=np.uint8)
+        for cid, raw in zip(
+            table["chunk_id"].to_pylist(), table["chunk"].to_pylist()
+        )
+    }
+    _SHARD_CHUNK_CACHE[key] = chunks
+    return chunks
+
+
+def bloom_index_might_contain(
+    df: DataFrame, col: str, index_path: str, out_col: str = "bloom_hit"
+) -> DataFrame:
+    """Sharded-index membership: repartition by the router so each
+    task touches ~``n_shards / tasks`` shards, then probe each row's
+    k positions against its shard's worker-cached chunks. A
+    (shard, chunk) absent from the index is all-zeros → definite
+    miss. NULLs are never hits."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    n_shards, bits_shard, k, seed = (
+        meta["n_shards"],
+        meta["bits_shard"],
+        meta["k"],
+        meta["seed"],
+    )
+
+    h1, h2 = _hash_cols(F.col(col), seed)
+    with_h = df.withColumns(
+        {
+            "h1": h1,
+            "h2": h2,
+            "__shard": _router(F.col(col), seed, n_shards),
+            "__nn": F.col(col).isNotNull(),
+        }
+    )
+    routed = with_h.repartition(n_shards, F.col("__shard"))
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hit = np.zeros(len(pdf), dtype=bool)
+            ok = pdf["__nn"].to_numpy(dtype=bool)
+            shards = pdf["__shard"].to_numpy()
+            for shard in np.unique(shards[ok]):
+                chunks = _load_shard_chunks(index_path, int(shard))
+                sel = ok & (shards == shard)
+                pos = _positions(
+                    pdf["h1"].to_numpy()[sel],
+                    pdf["h2"].to_numpy()[sel],
+                    k,
+                    bits_shard,
+                )
+                byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+                bit = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+                res = np.zeros(pos.shape, dtype=bool)
+                chunk_of = byte_idx // CHUNK_BYTES
+                off = byte_idx % CHUNK_BYTES
+                for ci in np.unique(chunk_of):
+                    arr = chunks.get(int(ci))
+                    csel = chunk_of == ci
+                    if arr is None:  # never-written chunk = all zeros
+                        res[csel] = False
+                    else:
+                        res[csel] = (arr[off[csel]] & bit[csel]) != 0
+                hit[sel] = res.all(axis=1)
+            out = pdf.drop(columns=["h1", "h2", "__shard", "__nn"])
+            out[out_col] = hit
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` boolean"
+    return routed.mapInPandas(check, schema)
+
+
+def bloom_index_dedup(df: DataFrame, col: str, index_path: str) -> DataFrame:
+    """Probabilistic dedup against a sharded index — the ≥10^10-item
+    form of :func:`bloom_dedup` (same guarantees: no false negatives,
+    ~fpp of new rows lost)."""
+    flag = "__bloom_hit"
+    return (
+        bloom_index_might_contain(df, col, index_path, out_col=flag)
+        .where(~F.col(flag))
+        .drop(flag)
     )

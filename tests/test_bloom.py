@@ -156,3 +156,109 @@ def test_sizing_math_matches_realized_fp(spark):
     hits = bloom_might_contain(probe, "v", bf).where(F.col("bloom_hit")).count()
     realized = hits / 4000
     assert realized < max(3 * predicted, 0.002)
+
+
+# --------------------------------------------------------------------------
+# sharded index (the ≥10^10-item form)
+# --------------------------------------------------------------------------
+
+def test_index_no_false_negatives_and_fp_rate(spark, tmp_path):
+    from solrizer_spark.operators.bloom import (
+        bloom_index_build,
+        bloom_index_dedup,
+        bloom_index_might_contain,
+    )
+
+    idx = str(tmp_path / "idx")
+    meta = bloom_index_build(
+        _vals_df(spark, BASE).repartition(5), "v", idx,
+        n_shards=4, expected_items=2000, fpp=0.01,
+    )
+    assert meta["n_shards"] == 4
+    probe = _vals_df(spark, BASE + NEW + [None])
+    out = bloom_index_might_contain(probe, "v", idx).collect()
+    hits = {r["v"] for r in out if r["bloom_hit"]}
+    assert hits.issuperset(BASE)            # guarantee: no false negatives
+    assert len(hits.intersection(NEW)) <= 3 * 0.01 * len(NEW)
+    assert None not in hits                 # nulls never match
+    kept = {r["v"] for r in bloom_index_dedup(probe, "v", idx).collect()}
+    assert not kept.intersection(BASE)
+    assert len(kept.intersection(NEW)) >= len(NEW) * (1 - 0.03)
+
+
+def test_index_agrees_with_flat_filter_guarantees(spark, tmp_path):
+    """The sharded index and the flat filter make the same promise —
+    identical verdicts on all inserted values, and both reject the
+    same definite-misses (FP sets may differ: independent hashes)."""
+    from solrizer_spark.operators.bloom import (
+        bloom_index_build,
+        bloom_index_might_contain,
+    )
+
+    idx = str(tmp_path / "idx")
+    bloom_index_build(
+        _vals_df(spark, BASE), "v", idx,
+        n_shards=3, expected_items=2000, fpp=0.001,
+    )
+    flat = bloom_build(_vals_df(spark, BASE), "v",
+                       expected_items=2000, fpp=0.001)
+    probe = _vals_df(spark, BASE)
+    sharded_hits = {
+        r["v"]
+        for r in bloom_index_might_contain(probe, "v", idx).collect()
+        if r["bloom_hit"]
+    }
+    flat_hits = {
+        r["v"]
+        for r in bloom_might_contain(probe, "v", flat).collect()
+        if r["bloom_hit"]
+    }
+    assert sharded_hits == flat_hits == set(BASE)
+
+
+def test_index_partitioning_invariance(spark, tmp_path):
+    """Same verdicts regardless of the probe's physical partitioning
+    (the router repartition is semantic, not layout-dependent)."""
+    from solrizer_spark.operators.bloom import (
+        bloom_index_build,
+        bloom_index_might_contain,
+    )
+
+    idx = str(tmp_path / "idx")
+    bloom_index_build(
+        _vals_df(spark, BASE), "v", idx,
+        n_shards=4, expected_items=2000, fpp=0.01,
+    )
+    probe = _vals_df(spark, BASE[:100] + NEW[:100])
+    a = {
+        (r["v"], r["bloom_hit"])
+        for r in bloom_index_might_contain(probe, "v", idx).collect()
+    }
+    b = {
+        (r["v"], r["bloom_hit"])
+        for r in bloom_index_might_contain(
+            probe.repartition(13), "v", idx
+        ).collect()
+    }
+    assert a == b
+
+
+def test_index_missing_chunks_are_definite_misses(spark, tmp_path):
+    """A (shard, chunk) never written during the build reads as
+    all-zeros: probing an index built from a tiny value set must not
+    error on values routing to untouched shards/chunks."""
+    from solrizer_spark.operators.bloom import (
+        bloom_index_build,
+        bloom_index_might_contain,
+    )
+
+    idx = str(tmp_path / "idx")
+    bloom_index_build(
+        _vals_df(spark, ["only-one-value"]), "v", idx,
+        n_shards=8, expected_items=8, fpp=0.01,
+    )
+    probe = _vals_df(spark, [f"probe-{i}" for i in range(200)] + ["only-one-value"])
+    rows = {r["v"]: r["bloom_hit"] for r in
+            bloom_index_might_contain(probe, "v", idx).collect()}
+    assert rows["only-one-value"] is True
+    assert sum(rows.values()) <= 3  # everything else a definite miss (tiny fp slack)

@@ -22,7 +22,7 @@ def _args(**kw) -> argparse.Namespace:
         dsir_target_lang="en", dsir_keep_frac=0.5, dsir_buckets=128,
         budget_tokens=1_000_000, budget_exact=False,
         ppl_tiers=3, ppl_keep_tiers=2, ppl_sample_fraction=1.0,
-        bloom_path=None, bloom_fpp=0.001, bloom_exact=False,
+        bloom_path=None, bloom_index=None, bloom_fpp=0.001, bloom_exact=False,
         embeddings_path=None, embedding_col="embedding",
         embedding_id_col=None, semdedup_cells=2, semdedup_tau=0.99,
         semdedup_max_cell=256, semdedup_iters=2,
@@ -452,3 +452,37 @@ def test_curate_bloomdedup(spark, tmp_path):
     with pytest.raises(ValueError, match="bloomdedup"):
         run_curate(spark, _args(input=inc_path, output=str(tmp_path / "o3"),
                                 ops="bloomdedup"))
+
+
+def test_curate_bloomdedup_sharded_index(spark, tmp_path):
+    """--bloom-index: the sharded-index form drops base duplicates and
+    keeps new rows, same contract as the flat filter."""
+    from curate import run_curate
+    from solrizer_spark.operators.bloom import bloom_index_build
+
+    base_rows = [(i, f"indexed base doc {i} stable words", "en")
+                 for i in range(300)]
+    base_df = spark.createDataFrame(
+        base_rows, "doc_id long, text string, lang string"
+    )
+    idx = str(tmp_path / "bloomidx")
+    bloom_index_build(base_df, "text", idx, n_shards=4,
+                      expected_items=300, fpp=0.001)
+
+    inc_rows = (
+        [(1000 + i, f"indexed base doc {i} stable words", "en")
+         for i in range(80)]
+        + [(2000 + i, f"novel increment doc {i} other words", "en")
+           for i in range(80)]
+    )
+    inc_path = str(tmp_path / "inc")
+    spark.createDataFrame(
+        inc_rows, "doc_id long, text string, lang string"
+    ).write.parquet(inc_path)
+
+    out = str(tmp_path / "out")
+    run_curate(spark, _args(input=inc_path, output=out, ops="bloomdedup",
+                            bloom_index=idx))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert not kept.intersection({1000 + i for i in range(80)})
+    assert len(kept.intersection({2000 + i for i in range(80)})) >= 78
