@@ -376,6 +376,20 @@ def main() -> int:
         f"arrow={p26.count('ArrowEvalPython')} exch={p26.count('Exchange')}",
     )
 
+    # broadcast Bloom probe: membership is executor-local — one
+    # ArrowEvalPython, no join of any kind in the dedup plan
+    from solrizer_spark.operators.bloom import bloom_build, bloom_dedup
+
+    bf = bloom_build(docs.limit(200), "text", expected_items=200, fpp=0.01)
+    p27 = plan_of(bloom_dedup(docs, "text", bf))
+    check(
+        "bloom_dedup_join_free_single_arrow",
+        p27.count("MapInPandas") == 1
+        and "Join" not in p27
+        and "Exchange" not in p27,
+        f"mapinpandas={p27.count('MapInPandas')} joins={p27.count('Join')}",
+    )
+
     spark.stop()
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
