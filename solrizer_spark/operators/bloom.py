@@ -667,7 +667,13 @@ def bloom_index_might_contain(
             "__nn": F.col(col).isNotNull(),
         }
     )
-    routed = with_h.repartition(n_shards, F.col("__shard"))
+    # hash-partition ON the shard column but at ≥ cluster width: with
+    # exactly n_shards partitions a small S would strangle the probe's
+    # parallelism; at max(S, defaultParallelism) each task still
+    # touches only ~S/tasks shards (the worker cache absorbs a shard
+    # read by two tasks on one executor), and the stage runs wide.
+    n_parts = max(n_shards, spark.sparkContext.defaultParallelism)
+    routed = with_h.repartition(n_parts, F.col("__shard"))
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
