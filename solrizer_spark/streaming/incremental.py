@@ -295,3 +295,85 @@ def stream_dedup_against_base(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_bloom_dedup(
+    spark: SparkSession,
+    input_path: str,
+    bloom_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "extracted_text",
+    accumulate: bool = True,
+    save_updated_path: str | None = None,
+    await_termination: bool = True,
+):
+    """Streaming crawl-increment dedup against a broadcast Bloom
+    filter (:mod:`solrizer_spark.operators.bloom`): each micro-batch
+    is probed executor-locally — no join, the base corpus never rides
+    the stream — and rows that might duplicate the filtered corpus
+    are dropped (no false negatives; ~fpp of genuinely-new rows
+    lost, as sized at build time).
+
+    ``accumulate=True`` is the property the anti-join streaming form
+    (:func:`stream_dedup_against_base`) explicitly cannot offer:
+    after each batch is written, a filter over the ADMITTED rows is
+    OR-merged into the driver-held filter, so later batches also
+    dedup against earlier batches — cross-batch duplicates are
+    dropped, not just base duplicates. The increment filter is built
+    from the batch's own WRITTEN output (re-read), so a micro-batch
+    retried after a crash re-merges exactly what it wrote — OR is
+    idempotent, so replays are harmless. Pass ``save_updated_path``
+    to persist the accumulated filter for the next invocation (the
+    cross-run amortization: load → catch up → save).
+
+    Broadcast hygiene: one filter-sized broadcast per micro-batch,
+    explicitly ``destroy()``-ed after the batch's write completes —
+    a long catch-up run holds at most one live copy per executor.
+
+    Idempotent sink layout: OVERWRITE into ``batch_id=<n>``
+    subdirectories (same contract as the other streaming sinks)."""
+    from solrizer_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        load_bloom,
+        save_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    state = {"bf": load_bloom(spark, bloom_path)}
+    stream = spark.readStream.schema(
+        spark.read.parquet(input_path).schema
+    ).parquet(input_path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        bf = state["bf"]
+        bc = spark.sparkContext.broadcast((bf.chunks, bf.k, bf.bits_total))
+        try:
+            kept = bloom_might_contain(
+                batch_df, text_col, bf, out_col="__hit", bc=bc
+            ).where(~F.col("__hit")).drop("__hit")
+            kept.write.mode("overwrite").parquet(
+                f"{output_path}/batch_id={batch_id}"
+            )
+        finally:
+            bc.destroy()
+        if accumulate:
+            admitted = spark.read.parquet(f"{output_path}/batch_id={batch_id}")
+            inc = bloom_build(
+                admitted, text_col,
+                bits_total=bf.bits_total, k=bf.k, seed=bf.seed,
+            )
+            state["bf"] = bf.merge(inc)
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    if save_updated_path:
+        save_bloom(spark, state["bf"], save_updated_path)
+    return query

@@ -245,3 +245,67 @@ def test_stream_dedup_against_base(spark, tmp_path):
     stream_dedup_against_base(spark, inc, base_path, out, ckpt)
     kept2 = {r["url"] for r in spark.read.parquet(out).collect()}
     assert kept2 == {"https://n.org/b", "https://n.org/d"}
+
+
+def test_stream_bloom_dedup_accumulates(spark, tmp_path):
+    """Streaming bloom dedup: base duplicates dropped join-free per
+    micro-batch; with accumulate=True a SECOND invocation also drops
+    duplicates of rows ADMITTED by the first (cross-batch dedup —
+    the property the anti-join streaming form cannot offer), via the
+    filter saved at save_updated_path."""
+    from solrizer_spark.operators.bloom import bloom_build, save_bloom
+    from solrizer_spark.streaming.incremental import stream_bloom_dedup
+
+    base_texts = [f"base corpus document {i} stable tokens" for i in range(50)]
+    base_df = spark.createDataFrame(
+        [(f"https://base.org/{i}", t) for i, t in enumerate(base_texts)],
+        ["url", "extracted_text"],
+    )
+    bf = bloom_build(base_df, "extracted_text", expected_items=50, fpp=0.001)
+    bloom0 = str(tmp_path / "bloom0")
+    save_bloom(spark, bf, bloom0)
+
+    inc = str(tmp_path / "inc")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("https://n.org/a", base_texts[0]),              # base dup
+         ("https://n.org/b", "first admitted streaming document words")],
+        ["url", "extracted_text"],
+    ).write.parquet(inc)
+    bloom1 = str(tmp_path / "bloom1")
+    stream_bloom_dedup(spark, inc, bloom0, out, ckpt,
+                       save_updated_path=bloom1)
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"https://n.org/b"}
+
+    # second run, new files: a copy of the FIRST batch's admitted row
+    # must now be dropped too (accumulated filter), fresh row kept
+    spark.createDataFrame(
+        [("https://n.org/c", "first admitted streaming document words"),
+         ("https://n.org/d", "second wave wholly new content tokens")],
+        ["url", "extracted_text"],
+    ).write.mode("append").parquet(inc)
+    bloom2 = str(tmp_path / "bloom2")
+    stream_bloom_dedup(spark, inc, bloom1, out, ckpt,
+                       save_updated_path=bloom2)
+    kept2 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == {"https://n.org/b", "https://n.org/d"}
+
+    # the accumulated filter knows all three populations
+    from solrizer_spark.operators.bloom import bloom_might_contain, load_bloom
+    final = load_bloom(spark, bloom2)
+    probe = spark.createDataFrame(
+        [(base_texts[0],), ("first admitted streaming document words",),
+         ("second wave wholly new content tokens",),
+         ("never seen anywhere text",)],
+        ["extracted_text"],
+    )
+    hits = {
+        r["extracted_text"]: r["bloom_hit"]
+        for r in bloom_might_contain(probe, "extracted_text", final).collect()
+    }
+    assert hits[base_texts[0]] is True
+    assert hits["first admitted streaming document words"] is True
+    assert hits["second wave wholly new content tokens"] is True
+    assert hits["never seen anywhere text"] is False
