@@ -262,6 +262,29 @@ def main() -> None:
                 runs.append(timings.pop(f"_{name}_{i}"))
         timings[name] = min(runs)
 
+    # -- bloom increment dedup at sf scale (round-5 part 7) ----------
+    # build a filter over the documents table, then dedup an
+    # increment of equal size (half dups, half new) join-free
+    from solrizer_spark.operators.bloom import bloom_build, bloom_dedup
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs_tbl = docs_tbl.count()
+    bf = timed(
+        "bloom_build",
+        lambda: bloom_build(
+            docs_tbl, "text", expected_items=max(n_docs_tbl, 1), fpp=0.001
+        ),
+    )
+    increment = docs_tbl.select("text").unionByName(
+        docs_tbl.select(F.concat(F.lit("new "), F.col("text")).alias("text"))
+    )
+    timed(
+        "bloom_dedup",
+        lambda: bloom_dedup(increment, "text", bf)
+        .agg(F.count("text"))
+        .collect(),
+    )
+
     # "value" sums the ROUND-1 query set so the headline stays
     # comparable round-over-round; queries added later are timed in
     # "queries" and summed in "value_all_queries"
