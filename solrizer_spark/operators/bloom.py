@@ -334,13 +334,22 @@ def _local_build(
         _or_fold_udf(nbytes, bits_total, k), "bitmap binary"
     )
     # two-level tree: ≤16 combiner tasks each OR a slice of the
-    # per-partition bitmaps, the driver ORs the ≤16 survivors — the
-    # same shape treeAggregate(depth=2) gives, expressed in DataFrames
-    combined = partials.repartition(16).mapInPandas(
-        _or_merge_udf(nbytes), "bitmap binary"
+    # per-partition bitmaps, then ONE task ORs the ≤16 survivors so
+    # the driver fetches exactly one nbytes row — the same shape
+    # treeAggregate(depth=2) gives, expressed in DataFrames. A single
+    # collect() action runs the whole tree as one job; the previous
+    # toLocalIterator() form scheduled one job PER merge partition
+    # (16+ sequential jobs, ~3.5 s of pure scheduling latency at any
+    # input size — profiled round 6).
+    combined = (
+        partials.repartition(16)
+        .mapInPandas(_or_merge_udf(nbytes), "bitmap binary")
+        .repartition(1)
+        .mapInPandas(_or_merge_udf(nbytes), "bitmap binary")
     )
+    rows = combined.collect()
     acc = np.zeros(nbytes, dtype=np.uint8)
-    for row in combined.toLocalIterator():
+    for row in rows:  # 0 rows (empty input) or 1
         acc |= np.frombuffer(row["bitmap"], dtype=np.uint8)
     return _to_chunks(acc)
 
