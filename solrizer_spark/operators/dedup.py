@@ -116,10 +116,15 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
 
 def bucket_pairs(items: Column) -> Column:
     """All (i < j) pairs within a bucket's member array, as
-    ``array<struct<a, b>>`` over the member elements — the shared
-    triangle enumeration used by every LSH candidate generator here.
-    Callers cap and sort the member array first (deterministic
-    truncation)."""
+    ``array<struct<a, b>>`` over the member elements. Callers cap and
+    sort the member array first (deterministic truncation).
+
+    NOTE: nested higher-order lambdas evaluate INTERPRETED per
+    element; for the hot row-generating path use
+    :func:`explode_bucket_pairs` (codegen Generate nodes, same pair
+    set — profiled ~25× on the simhash pair stage, round 6). This
+    expression form remains for contexts that need the pairs as an
+    array column."""
     return F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(items) - 1),
@@ -131,6 +136,30 @@ def bucket_pairs(items: Column) -> Column:
                 ),
             ),
         )
+    )
+
+
+def explode_bucket_pairs(buckets: DataFrame, members_col: str) -> DataFrame:
+    """All (i < j) pairs from each bucket's member array, one ROW per
+    pair with columns ``a`` and ``b`` — the row-generating twin of
+    :func:`bucket_pairs`, shared by every LSH candidate generator.
+
+    Shape: ``posexplode`` picks element i as ``a``; ``slice(members,
+    i+2, size-i-1)`` + ``explode`` yields every LATER element as
+    ``b``. Both Generate nodes and the slice are whole-stage codegen,
+    where the nested-``transform``-``flatten`` expression runs
+    interpreted per element — on a capped degenerate bucket that is
+    the difference between a multi-second single-task stage and
+    milliseconds (the post-groupBy stage is AQE-coalesced by BYTES,
+    which cannot see the quadratic pair fan-out)."""
+    m = F.col(members_col)
+    return buckets.select(
+        F.posexplode(m).alias("_i", "a"), m.alias("_m")
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("_m"), F.col("_i") + F.lit(2), F.size("_m") - F.col("_i") - F.lit(1))
+        ).alias("b"),
     )
 
 
@@ -260,8 +289,8 @@ def minhash_lsh_pairs(
     )
     # pairs within bucket (i<j), dedup across bands
     pairs = (
-        buckets.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        explode_bucket_pairs(buckets, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
     if candidate_filter is not None:
@@ -445,11 +474,11 @@ def simhash_near_dup_pairs(
         .where(F.size("members") > 1)
     )
     pairs = (
-        buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p"))
+        explode_bucket_pairs(buckets, "members")
         .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
-            F.bit_count(F.col("p.a._sh").bitwiseXOR(F.col("p.b._sh"))).alias("hamming"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -308,7 +308,10 @@ def embedding_near_dup_pairs(
                 )
             ).alias("bk"),
         ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    from solrizer_spark.operators.dedup import bucket_pairs, cap_bucket_rows
+    from solrizer_spark.operators.dedup import (
+        cap_bucket_rows,
+        explode_bucket_pairs,
+    )
 
     # pre-aggregation cap: bounds the collect_list buffer, not just the
     # pair fan-out (see dedup.cap_bucket_rows)
@@ -322,8 +325,8 @@ def embedding_near_dup_pairs(
     )
 
     pairs = (
-        buckets.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        explode_bucket_pairs(buckets, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
     vecs = base

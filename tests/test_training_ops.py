@@ -25,6 +25,38 @@ def test_exact_dedup(docs):
     assert out[3] == 1 and out[4] == 1 and out[5] == 1
 
 
+def test_explode_bucket_pairs_matches_expression_form(spark):
+    """The codegen double-explode pair generator (round-6 optimization)
+    emits EXACTLY the (i<j) pair set of the bucket_pairs expression —
+    scalar members and struct members, including 2-member buckets and
+    the last-element empty-slice edge."""
+    from solrizer_spark.operators.dedup import bucket_pairs, explode_bucket_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [7, 8]), (3, [5, 6, 7])],
+        "b int, ids array<int>",
+    )
+    old = sorted(
+        tuple(r)
+        for r in df.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.a", "p.b")
+        .collect()
+    )
+    new = sorted(tuple(r) for r in explode_bucket_pairs(df, "ids").collect())
+    assert old == new
+    assert len(new) == 6 + 1 + 3
+
+    sdf = spark.createDataFrame(
+        [([(1, 10), (2, 20), (3, 30)],)],
+        "members array<struct<_id int, _sh int>>",
+    )
+    got = sorted(
+        (r["a"]["_id"], r["b"]["_sh"])
+        for r in explode_bucket_pairs(sdf, "members").collect()
+    )
+    assert got == [(1, 20), (1, 30), (2, 30)]
+
+
 def test_word_shingles(spark):
     from solrizer_spark.operators.dedup import word_shingles
 
