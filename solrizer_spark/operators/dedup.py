@@ -620,37 +620,68 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
     )
 
     converged = False
     rounds = 0
     if algorithm == "star":
+        edges = edges.persist()
         labels, converged, rounds = _star_components(edges, max_iterations)
     else:
-        labels = (
-            edges.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("component", F.col("id"))
-            .localCheckpoint()
+        # Round-6 loop restructuring (guide §2.4 — remove shuffles
+        # outright): a SELF-LOOP per node folds "own label" into the
+        # neighbor-min aggregation, so each round is ONE join + ONE
+        # aggregation (was join + groupBy + second left join), and the
+        # edge list is hash-partitioned by the join key ONCE up front —
+        # previously the persisted post-distinct layout was keyed on
+        # (src, dst), so every round re-shuffled the FULL edge list by
+        # dst. Partition count derives from the measured edge count
+        # (~500k edge rows per task), not a constant, so the loop stays
+        # narrow at bench scale and wide at 10^9+ edges; the same
+        # count() fills the persist before the loop.
+        nodes = edges.select("src").distinct()
+        edges_full = edges.where(F.col("src") != F.col("dst")).unionByName(
+            nodes.select("src", F.col("src").alias("dst"))
         )
-        prev_sum = labels.agg(_label_checksum()).collect()[0][0]
+        # partition count from the STATIC input-size estimate (zero
+        # jobs — the ensure_min_parallelism discipline): ~64 MB of
+        # source bytes per loop partition, falling back to the session
+        # shuffle width when the estimate is unknown (shuffle-fed
+        # pairs already arrive that wide)
+        from solrizer_spark.operators.repartition import _scan_input_bytes
+
+        shuffle_parts = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        src_bytes = _scan_input_bytes(pairs)
+        if src_bytes is None:
+            n_parts = shuffle_parts
+        else:
+            n_parts = max(1, min(shuffle_parts, -(-src_bytes // (64 * 1024**2))))
+        edges_full = edges_full.repartition(n_parts, "dst").persist()
+        # fill the cache NOW (one pass over the pair synthesis), then
+        # derive the initial labels from the cached self-loops — the
+        # node set never re-runs the pair synthesis lineage
+        edges_full.count()
+        labels = edges_full.where(F.col("src") == F.col("dst")).select(
+            F.col("src").alias("id"), F.col("src").alias("component")
+        )
+        prev_sum = None  # round 1 always changes labels (any edge a<b
+        # gives b a smaller neighbor), except the empty graph, where
+        # both sums are None and we converge immediately
         for rounds in range(1, max_iterations + 1):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("component").alias("nb_min"))
-            )
             obs = Observation()
             new_labels = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nb_min"), F.col("component")),
-                    ).alias("component"),
+                # SHUFFLE_HASH build on the label side: the (big,
+                # persisted, already-partitioned) edge list streams
+                # without the per-round sort a sort-merge join would
+                # re-run on it every iteration
+                edges_full.join(
+                    labels.hint("shuffle_hash"), edges_full.dst == labels.id
                 )
+                .groupBy("src")
+                .agg(F.min("component").alias("component"))
+                .withColumnRenamed("src", "id")
                 .observe(obs, _label_checksum())
                 .localCheckpoint()  # eager: runs the round's ONE job
             )
@@ -660,6 +691,7 @@ def connected_components(
                 converged = True
                 break
             prev_sum = new_sum
+        edges_full.unpersist()
     edges.unpersist()
     if stats is not None:
         stats["converged"] = converged
