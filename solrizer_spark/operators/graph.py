@@ -46,6 +46,7 @@ def pagerank(
     dst: str = "dst",
     checkpoint: bool = True,
     dedup_edges: bool = True,
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Return ``(node, rank)`` after ``iterations`` rounds of integer
     PageRank over the (de-duplicated) ``edges``. ``rank`` sums to
@@ -58,10 +59,26 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedup_edges:
         e = e.distinct()
+    from solrizer_spark.operators.repartition import _scan_input_bytes
+
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    src_bytes = _scan_input_bytes(edges)
+    if src_bytes is None:
+        n_parts = shuffle_parts
+    else:
+        n_parts = max(1, min(shuffle_parts, -(-src_bytes // (64 * 1024**2))))
+    # cached plans keep their OUTPUT partitioning out of AQE's reach
+    # (canChangeCachedPlanOutputPartitioning default), so end both
+    # cached frames in an explicit scale-derived repartition — the
+    # internal exchanges still coalesce, and the node set never fills
+    # as shuffle_partitions-many near-empty cached partitions
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(n_parts)
         .persist()
     )
     n = nodes.count()
@@ -69,26 +86,40 @@ def pagerank(
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # pre-join rank-independent sides once; one plan reused each round
-    edge_deg = e.join(outdeg, "src").persist()
+    # Pre-join rank-independent sides once, FOLD the keep-alive rows
+    # in as deg=0 self-rows (round 6, guide §2.4): a node's self-row
+    # contributes 0 mass to itself, so every node reaches the
+    # aggregate without the per-round keep-alive union leg (one fewer
+    # exchange per round). The table is hash-partitioned by the
+    # per-round join key ONCE — the persisted layout is reused every
+    # round, only the (node,rank)-sized ranks side moves.
+    edge_deg = e.join(outdeg, "src").unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("deg"),
+        )
+    )
+    edge_deg = edge_deg.repartition(n_parts, "src").persist()
 
     base = ((denom - num) * total_mass // denom) // n
     init = total_mass // n
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
 
-    for _ in range(iterations):
+    for i in range(iterations):
+        # SHUFFLE_HASH build on the small ranks side: the persisted
+        # edge table streams without a per-round re-sort
         contribs = edge_deg.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
         ).select(
             F.col("dst").alias("node"),
-            F.expr("rank DIV deg").alias("contrib"),
+            F.expr("CASE WHEN deg = 0 THEN 0 ELSE rank DIV deg END").alias(
+                "contrib"
+            ),
         )
-        # keep-alive zero rows: nodes with no inbound edges must still
-        # appear in the aggregate to receive the base term
-        keep_alive = ranks.select("node", F.lit(0).cast("long").alias("contrib"))
         ranks = (
-            contribs.unionAll(keep_alive)
-            .groupBy("node")
+            contribs.groupBy("node")
             .agg(F.sum("contrib").alias("inbound"))
             .select(
                 "node",
@@ -97,9 +128,20 @@ def pagerank(
                 .alias("rank"),
             )
         )
-        if checkpoint:  # truncate lineage per round (False only for
-            ranks = ranks.localCheckpoint(eager=True)  # plan audits)
+        # Lineage hygiene only — pagerank runs a FIXED round count
+        # with no per-round convergence probe, so rounds between
+        # checkpoints stay one lazily-composed plan and a short run
+        # (< checkpoint_interval rounds) executes as a single action.
+        # The eager per-round materialization cost ~1 job round-trip
+        # per iteration for nothing (round 6, guide §1.2).
+        if checkpoint and (i + 1) % checkpoint_interval == 0:
+            ranks = ranks.localCheckpoint(eager=True)
 
+    if checkpoint and iterations % checkpoint_interval != 0:
+        # materialize BEFORE dropping the caches the lazy tail of the
+        # plan still references — this is the run's single action when
+        # iterations < checkpoint_interval
+        ranks = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     edge_deg.unpersist()
     return ranks
