@@ -1175,10 +1175,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebooks train on a bounded deterministic sample (FAISS
     # practice; ~10^3 vectors per codeword suffices) — the oracle is
     # unaffected because it re-derives everything from the PERSISTED
-    # codebooks, whatever sample trained them
-    n = emb.count()
+    # codebooks, whatever sample trained them. Count and dims ride ONE
+    # job (round 6: they were two separate scheduled scans).
+    n, dims = emb.agg(
+        F.count(F.lit(1)), F.first(F.size("embedding"))
+    ).collect()[0]
     frac = 1.0 if n <= 20_000 else max(0.05, 20_000 / n)
-    books = pq_train(emb, m=_PQ_M, k=_PQ_K, n_iter=3, train_fraction=frac)
+    books = pq_train(
+        emb, m=_PQ_M, k=_PQ_K, n_iter=3, train_fraction=frac, dims=dims
+    )
     rows = [
         (j, c, p, w)
         for j, book in enumerate(books)

@@ -22,6 +22,8 @@ no all-pairs join anywhere.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -458,17 +460,31 @@ def _kmeans_fit_loop(
         return [x / n for x in v] if n else list(v)
 
     cents = [l2([float(x) for x in r["_v"]]) for r in seeds]
+    dims = len(cents[0])
     for _ in range(n_iter):
         if arrow and k <= 4096:
-            # Arrow numpy assignment — bit-identical cells to the
-            # literal path; the kernel ships k·dims centroid doubles
-            # in the UDF closure (≤2 MB at this bound — past it the
-            # broadcast-join path below stays the large-k shape)
-            assigned = df.select(
-                make_assign_cell_sim_udf(cents)(F.col(vec_col))["cell"].alias("_cell"),
-                F.col(vec_col).alias("_v"),
-            )
-        elif k <= 64:
+            # Arrow numpy assignment fused with the update stats
+            # (round 6): ONE mapInPandas stage per round yields a
+            # single (k·dims sums) row per partition — no posexplode/
+            # groupBy shuffle, no second scheduled job. Assignment
+            # arithmetic is the make_assign_cell_sim_udf fold
+            # verbatim; the kernel ships k·dims centroid doubles in
+            # the closure (≤2 MB at this bound — past it the
+            # broadcast-join path below stays the large-k shape).
+            import numpy as np
+
+            parts = df.select(F.col(vec_col).alias("_v")).mapInPandas(
+                _make_kmeans_stats_fold(cents, k, dims), "sums binary"
+            ).collect()
+            tot = np.zeros((k, dims), dtype=np.float64)
+            for r in parts:
+                tot += np.frombuffer(r["sums"], dtype=np.float64).reshape(k, dims)
+            cents = [
+                l2([float(x) for x in tot[c]]) if tot[c].any() else cents[c]
+                for c in range(k)
+            ]
+            continue
+        if k <= 64:
             # literal-expression assignment: O(k·dims) plan nodes,
             # zero extra shuffle
             assigned = df.select(
@@ -838,6 +854,51 @@ def make_assign_cell_sim_udf(centroids: list[list[float]]):
     return assign_cell_sim_udf
 
 
+def _make_kmeans_stats_fold(centroids: list[list[float]], k: int, dims: int):
+    """mapInPandas round kernel for :func:`_kmeans_fit_loop` (round
+    6): assign every vector with the :func:`make_assign_cell_sim_udf`
+    fold arithmetic verbatim (same literals, same zero-norm guard,
+    same first-maximal argmax), accumulate per-cell coordinate sums
+    locally, and yield ONE (k·dims float64) row per partition — the
+    whole Lloyd round becomes a single Python stage plus a driver
+    merge, replacing posexplode → groupBy shuffle → collect."""
+    import math
+
+    import numpy as np
+
+    C = np.asarray(
+        [[float(x) for x in c] for c in centroids], dtype=np.float64
+    )  # (k, dims)
+    ncs = np.asarray(
+        [math.sqrt(sum(x * x for x in c)) for c in centroids], dtype=np.float64
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, dims), dtype=np.float64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            X = np.asarray(pdf["_v"].tolist(), dtype=np.float64).reshape(
+                len(pdf), dims
+            )
+            nacc = np.zeros(len(pdf))
+            dots = np.zeros((len(pdf), k))
+            for p in range(dims):
+                nacc = nacc + X[:, p] * X[:, p]
+                dots = dots + X[:, p : p + 1] * C[:, p]
+            denom = np.sqrt(nacc)[:, None] * ncs
+            sims = np.zeros_like(dots)
+            np.divide(dots, denom, out=sims, where=denom != 0.0)
+            cells = sims.argmax(axis=1)  # first maximal = lowest cell
+            np.add.at(sums, cells, X)
+        if any_rows:
+            yield pd.DataFrame({"sums": [sums.tobytes()]})
+
+    return fold
+
+
 def make_semdedup_cell_fn(dims: int, tau: float):
     """Per-cell pair verification for :func:`semantic_dedup` — the
     ``applyInPandas`` body. Receives one CELL's ``(cell, _id, _v)``
@@ -1114,9 +1175,58 @@ def pq_train(
             df.unpersist()
 
 
+def _make_pq_stats_fold(books: list[list[list[float]]], m: int, k: int, ds: int):
+    """mapInPandas round kernel for :func:`_pq_train_loop`: assign
+    every vector with the SAME explicit-left-fold arithmetic as
+    :func:`make_pq_encode_udf`, accumulate per-(sub, cell) coordinate
+    sums and counts locally, and yield ONE (m·k·ds sums, m·k counts)
+    row per partition — the whole Lloyd round is a single Python
+    stage plus a driver merge of partition partials, no explode/
+    groupBy shuffle and no second collect job. Deterministic: the
+    input partitioning is a fixed scan (persisted), ``np.add.at`` is
+    sequential per row, and the driver merges partials in partition
+    order."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.asarray(book, dtype=np.float64) for book in books]  # (k, ds)
+    normc = [
+        np.asarray([sum(w * w for w in c) for c in book], dtype=np.float64)
+        for book in books
+    ]
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((m, k, ds), dtype=np.float64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            X = np.asarray(pdf["_v"].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, ds
+            )
+            for j in range(m):
+                acc = np.zeros((len(pdf), mats[j].shape[0]))
+                for p in range(ds):  # explicit left fold — bit parity
+                    acc = acc + X[:, j, p : p + 1] * mats[j][:, p]
+                d = normc[j] - 2.0 * acc
+                codes = d.argmin(axis=1)  # first minimal = lowest cell
+                np.add.at(sums[j], codes, X[:, j, :])
+                counts[j] += np.bincount(codes, minlength=k)
+        if any_rows:
+            yield pd.DataFrame(
+                {"sums": [sums.tobytes()], "counts": [counts.tobytes()]}
+            )
+
+    return fold
+
+
 def _pq_train_loop(
     df: DataFrame, m: int, k: int, ds: int, n_iter: int, id_col: str, vec_col: str
 ) -> list[list[list[float]]]:
+    import numpy as np
+
     seeds = (
         df.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_id"))
         .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
@@ -1129,44 +1239,25 @@ def _pq_train_loop(
         [[float(x) for x in r["_v"][j * ds : (j + 1) * ds]] for r in seeds]
         for j in range(m)
     ]
+    vecs = df.select(F.col(vec_col).alias("_v"))
     for _ in range(n_iter):
-        # assignment through the Arrow numpy encoder (bit-identical
-        # distances to the Column fold; the interpreted-HOF form was
-        # the whole training cost at ~3 ms/row-core)
-        enc = make_pq_encode_udf(books)
-        coded = df.select(
-            F.col(vec_col).alias("_v"), enc(F.col(vec_col)).alias("_code")
-        )
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("sub"),
-                    F.element_at(F.col("_code"), j + 1).alias("cell"),
-                    F.slice(F.col("_v"), j * ds + 1, ds).alias("sv"),
-                )
-                for j in range(m)
-            ]
-        )
-        stats = (
-            coded.select(F.explode(entries).alias("e"))
-            .select("e.sub", "e.cell", F.posexplode("e.sv").alias("pos", "x"))
-            .groupBy("sub", "cell", "pos")
-            .agg(
-                F.sum(F.col("x").cast("double")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        sums: dict[tuple[int, int], list[float]] = {}
-        counts: dict[tuple[int, int], int] = {}
-        for r in stats:
-            key = (r["sub"], r["cell"])
-            sums.setdefault(key, [0.0] * ds)[r["pos"]] = r["s"]
-            counts[key] = r["n"]
+        # one job, one stage per round: assignment + partial stats in
+        # a single mapInPandas fold (see _make_pq_stats_fold); only
+        # m·k·ds floats per PARTITION reach the driver (round 6 —
+        # replaces encode → double explode → groupBy shuffle →
+        # collect, which cost two scheduled jobs per round)
+        parts = vecs.mapInPandas(
+            _make_pq_stats_fold(books, m, k, ds), "sums binary, counts binary"
+        ).collect()
+        sums = np.zeros((m, k, ds), dtype=np.float64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in parts:
+            sums += np.frombuffer(r["sums"], dtype=np.float64).reshape(m, k, ds)
+            counts += np.frombuffer(r["counts"], dtype=np.int64).reshape(m, k)
         books = [
             [
-                [x / counts[(j, c)] for x in sums[(j, c)]]
-                if (j, c) in counts
+                [float(x) for x in sums[j][c] / counts[j][c]]
+                if counts[j][c]
                 else books[j][c]
                 for c in range(k)
             ]
