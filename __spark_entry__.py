@@ -443,9 +443,14 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two computations are independent. All weights are exact
     hundredths ⇒ round(·,6) is insensitive to FP summation order."""
     from solrizer_spark.functions.text_stats import hashed_linear_score
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
 
     weights = [((i * 37) % 101 - 50) / 100.0 for i in range(256)]
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    # per-word hash + weight lookup is the CPU-heavy map side —
+    # parallelize small single-split scans (no-op at scale)
+    docs = ensure_min_parallelism(
+        _table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.select(
         "doc_id", hashed_linear_score("text", weights, bias=0.25).alias("score")
     )

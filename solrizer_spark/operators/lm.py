@@ -32,7 +32,12 @@ DEFAULT_OOV_P = 1e-6
 
 
 def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, w1, w2) — whitespace-token bigrams with position."""
+    """(id, pos, w1, w2) — whitespace-token bigrams with position.
+
+    (Round 6 note: a min-parallelism repartition guard here was
+    measured 2× SLOWER at bench scale — the lm queries call _bigrams
+    several times per plan and the extra text shuffles cost more than
+    the single-task tokenize they spread. Deliberately left as-is.)"""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     pairs = F.arrays_zip(

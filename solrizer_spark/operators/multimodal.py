@@ -215,4 +215,9 @@ def media_feature_stage(
     def feat_udf(payload: pd.Series) -> pd.Series:
         return payload.map(lambda p: ex(bytes(p), dim) if p is not None else None)
 
+    # (Round 6 note: a min-parallelism repartition guard here was
+    # measured SLOWER at bench scale — shuffling the binary payloads
+    # plus 32 Arrow task round-trips cost more than the single-task
+    # pseudo-embedding pass. Callers with a real heavyweight encoder
+    # should repartition upstream.)
     return df.withColumn("features", feat_udf(F.col(payload_col)))

@@ -338,7 +338,12 @@ def dsir_log_ratio_table(
     Scale: the corpus-sized work is one explode + groupBy(feature)
     count with map-side combine; the collect is ≤ ``buckets`` rows.
     """
-    feats = df.select(
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
+
+    # the per-word regexp + md5 feature map is CPU-heavy; a small
+    # corpus in one parquet split would run it single-threaded
+    # (no-op when the scan already has >= cores splits)
+    feats = ensure_min_parallelism(df).select(
         target_cond.alias("_is_target"),
         F.explode(hashed_word_features(text_col, buckets)).alias("f"),
     )
@@ -400,12 +405,15 @@ def dsir_importance_weights(
     driver) + a broadcast semi-join flag — NOT a global rank window,
     which would single-partition-sort the corpus-sized weight table
     at 10^12 docs. ``top_k`` must be broadcast-sized (≲10^6)."""
+    from solrizer_spark.operators.repartition import ensure_min_parallelism
     from solrizer_spark.session import local_df
 
     ratios = local_df(
         df.sparkSession, ratio_rows, "f int, qlog long"
     )
-    feats = df.select(
+    # same CPU-heavy feature map as dsir_log_ratio_table — parallelize
+    # small single-split scans (no-op at scale)
+    feats = ensure_min_parallelism(df).select(
         F.col(id_col), F.explode(hashed_word_features(text_col, buckets)).alias("f")
     )
     weights = (
