@@ -56,7 +56,55 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_WARM_WORKERS", "1") != "0":
+        _warm_python_workers(spark, cpus)
+    return spark
+
+
+#: application ids whose Python worker pool has been pre-spawned
+_WARMED_APPS: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Pre-spawn one Python worker per core and pre-import the heavy
+    libraries (numpy/pandas/pyarrow) inside each — once per
+    application.
+
+    On a long-lived cluster the worker pool is resident; locally the
+    FIRST pandas-UDF action otherwise pays interpreter spin-up plus
+    ~1-3 s of imports × cpus inside whatever query happens to run
+    first (measured round 6: the cold extraction run carried ~4 s of
+    worker spawn that no steady-state deployment would see). A plain
+    ``count(lit(1))`` probe does NOT do this — Catalyst prunes the
+    unused UDF column and the Python stage never runs — so the probe
+    aggregates the UDF output itself. Reused workers keep their
+    imports (``spark.python.worker.reuse`` default), so every later
+    Arrow stage starts hot. Disable with SPARK_GRAFT_WARM_WORKERS=0."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED_APPS:
+        return
+    _WARMED_APPS.add(app_id)
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _fn(s: "pd.Series") -> "pd.Series":
+        import numpy  # noqa: F401  — resident for every later kernel
+        import pyarrow  # noqa: F401
+
+        return s
+
+    # explicit annotations: this module's `from __future__ import
+    # annotations` turns decorator-style hints into unresolvable
+    # strings for pandas_udf's signature inference
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _preload = F.pandas_udf(_fn, "long")
+
+    probe = spark.range(cpus * 16).repartition(cpus)
+    # count(THE UDF COLUMN): the aggregate consumes the UDF output, so
+    # column pruning cannot drop the Python stage
+    probe.select(_preload("id").alias("w")).agg(F.count("w")).collect()
 
 
 try:  # Arrow conversion failures surface as this on the pandas path
