@@ -422,21 +422,24 @@ def bloom_might_contain(
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks, k, bits_total = bc.value
         for pdf in batches:
-            ok = pdf["__nn"].to_numpy(dtype=bool)
+            ok = pdf["__bloom_nn"].to_numpy(dtype=bool)
             hit = np.zeros(len(pdf), dtype=bool)
             if ok.any():
                 pos = _positions(
-                    pdf["h1"].to_numpy()[ok], pdf["h2"].to_numpy()[ok],
+                    pdf["__bloom_h1"].to_numpy()[ok],
+                    pdf["__bloom_h2"].to_numpy()[ok],
                     k, bits_total,
                 )
                 hit[ok] = _test_bits(chunks, pos)
-            out = pdf.drop(columns=["h1", "h2", "__nn"])
+            out = pdf.drop(columns=["__bloom_h1", "__bloom_h2", "__bloom_nn"])
             out[out_col] = hit
             yield out
 
     h1, h2 = _hash_cols(F.col(col), bf.seed)
+    # collision-proof working names (ADVICE r5): an input that already
+    # carries columns named h1/h2 must not be silently overwritten
     with_h = df.withColumns(
-        {"h1": h1, "h2": h2, "__nn": F.col(col).isNotNull()}
+        {"__bloom_h1": h1, "__bloom_h2": h2, "__bloom_nn": F.col(col).isNotNull()}
     )
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -677,12 +680,14 @@ def bloom_index_might_contain(
     )
 
     h1, h2 = _hash_cols(F.col(col), seed)
+    # collision-proof working names (ADVICE r5): an input that already
+    # carries columns named h1/h2 must not be silently overwritten
     with_h = df.withColumns(
         {
-            "h1": h1,
-            "h2": h2,
+            "__bloom_h1": h1,
+            "__bloom_h2": h2,
             "__shard": _router(F.col(col), seed, n_shards),
-            "__nn": F.col(col).isNotNull(),
+            "__bloom_nn": F.col(col).isNotNull(),
         }
     )
     # hash-partition ON the shard column but at ≥ cluster width: with
@@ -696,14 +701,14 @@ def bloom_index_might_contain(
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hit = np.zeros(len(pdf), dtype=bool)
-            ok = pdf["__nn"].to_numpy(dtype=bool)
+            ok = pdf["__bloom_nn"].to_numpy(dtype=bool)
             shards = pdf["__shard"].to_numpy()
             for shard in np.unique(shards[ok]):
                 chunks = _load_shard_chunks(index_path, int(shard))
                 sel = ok & (shards == shard)
                 pos = _positions(
-                    pdf["h1"].to_numpy()[sel],
-                    pdf["h2"].to_numpy()[sel],
+                    pdf["__bloom_h1"].to_numpy()[sel],
+                    pdf["__bloom_h2"].to_numpy()[sel],
                     k,
                     bits_shard,
                 )
@@ -720,7 +725,7 @@ def bloom_index_might_contain(
                     else:
                         res[csel] = (arr[off[csel]] & bit[csel]) != 0
                 hit[sel] = res.all(axis=1)
-            out = pdf.drop(columns=["h1", "h2", "__shard", "__nn"])
+            out = pdf.drop(columns=["__bloom_h1", "__bloom_h2", "__shard", "__bloom_nn"])
             out[out_col] = hit
             yield out
 

@@ -262,3 +262,25 @@ def test_index_missing_chunks_are_definite_misses(spark, tmp_path):
             bloom_index_might_contain(probe, "v", idx).collect()}
     assert rows["only-one-value"] is True
     assert sum(rows.values()) <= 3  # everything else a definite miss (tiny fp slack)
+
+
+def test_might_contain_preserves_user_h1_h2_columns(spark):
+    """ADVICE r5: an input that already carries columns named h1/h2
+    must pass through unmodified — the probe's working columns use
+    collision-proof internal names."""
+    df = local_df(
+        spark,
+        [("a", 10, 20), ("b", 11, 21), (None, 12, 22)],
+        "text string, h1 int, h2 int",
+    )
+    bf = bloom_build(
+        local_df(spark, [("a",)], "text string"), "text",
+        expected_items=4, fpp=0.01,
+    )
+    rows = {
+        r["h1"]: (r["h2"], r["bloom_hit"])
+        for r in bloom_might_contain(df, "text", bf).collect()
+    }
+    assert rows[10] == (20, True)   # planted value hits
+    assert rows[11][0] == 21        # user columns intact
+    assert rows[12] == (22, False)  # NULL never hits
