@@ -333,6 +333,15 @@ def stream_bloom_dedup(
 
     Idempotent sink layout: OVERWRITE into ``batch_id=<n>``
     subdirectories (same contract as the other streaming sinks)."""
+    if save_updated_path and not await_termination:
+        # ADVICE r5: saving right after start() would persist a
+        # stale/partially-accumulated filter while batches are still
+        # running; a later run loading it would re-admit duplicates
+        raise ValueError(
+            "save_updated_path requires await_termination=True — the "
+            "accumulated filter is only complete once the stream has "
+            "drained"
+        )
     from solrizer_spark.operators.bloom import (
         bloom_build,
         bloom_might_contain,
@@ -360,9 +369,20 @@ def stream_bloom_dedup(
             bc.destroy()
         if accumulate:
             admitted = spark.read.parquet(f"{output_path}/batch_id={batch_id}")
+            # strategy by filter size (ADVICE r5): the default local
+            # build raises past LOCAL_BUILD_MAX_BITS — exactly the
+            # large-base regime this module targets — which would kill
+            # the stream inside foreachBatch; mirror curate.py's
+            # heuristic instead
+            from solrizer_spark.operators.bloom import LOCAL_BUILD_MAX_BITS
+
             inc = bloom_build(
                 admitted, text_col,
                 bits_total=bf.bits_total, k=bf.k, seed=bf.seed,
+                strategy=(
+                    "local" if bf.bits_total <= LOCAL_BUILD_MAX_BITS
+                    else "shuffle"
+                ),
             )
             state["bf"] = bf.merge(inc)
 

@@ -309,3 +309,22 @@ def test_stream_bloom_dedup_accumulates(spark, tmp_path):
     assert hits["first admitted streaming document words"] is True
     assert hits["second wave wholly new content tokens"] is True
     assert hits["never seen anywhere text"] is False
+
+
+def test_stream_bloom_dedup_save_requires_await(spark, tmp_path):
+    """ADVICE r5: saving the accumulated filter without awaiting
+    termination would persist a partially-accumulated filter."""
+    import pytest as _pytest
+
+    from solrizer_spark.streaming.incremental import stream_bloom_dedup
+
+    with _pytest.raises(ValueError, match="await_termination"):
+        stream_bloom_dedup(
+            spark,
+            input_path=str(tmp_path / "in"),
+            bloom_path=str(tmp_path / "bf"),
+            output_path=str(tmp_path / "out"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            save_updated_path=str(tmp_path / "bf2"),
+            await_termination=False,
+        )
