@@ -669,6 +669,10 @@ def connected_components(
         prev_sum = None  # round 1 always changes labels (any edge a<b
         # gives b a smaller neighbor), except the empty graph, where
         # both sums are None and we converge immediately
+        # (Round 6 note: fusing TWO propagation steps per action with
+        # stacked observe() checksums was tried and REVERTED — it hit
+        # a JVM assertion in toPyRow on the composed plan and profiled
+        # SLOWER than one checkpointed round per action.)
         for rounds in range(1, max_iterations + 1):
             obs = Observation()
             new_labels = (
