@@ -690,11 +690,14 @@ def bloom_index_might_contain(
             "__bloom_nn": F.col(col).isNotNull(),
         }
     )
-    # hash-partition ON the shard column but at ≥ cluster width: with
-    # exactly n_shards partitions a small S would strangle the probe's
-    # parallelism; at max(S, defaultParallelism) each task still
-    # touches only ~S/tasks shards (the worker cache absorbs a shard
-    # read by two tasks on one executor), and the stage runs wide.
+    # hash-partition ON the shard column. NOTE (ADVICE r5): a column
+    # with only n_shards distinct values fills at most n_shards
+    # non-empty partitions regardless of the partition count, so the
+    # probe's effective parallelism is capped at S — size n_shards ≥
+    # cluster width when building the index. The max() below only
+    # spreads the S non-empty partitions across distinct tasks
+    # (avoiding two shards hashed into one task at small counts); it
+    # cannot widen beyond S.
     n_parts = max(n_shards, spark.sparkContext.defaultParallelism)
     routed = with_h.repartition(n_parts, F.col("__shard"))
 
