@@ -505,7 +505,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://host"), m, F.lit(".example.com"), sect,
                  F.col("doc_id").cast("string")),
     )
-    from solrizer_spark.session import local_df
+    from solrizer_spark.session import local_df, write_local_parquet
 
     robots = local_df(
         spark,
@@ -1134,16 +1134,14 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_ivf_cell_sim,
         kmeans_fit,
     )
-    from solrizer_spark.session import local_df
+    from solrizer_spark.session import local_df, write_local_parquet
 
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(emb, k=4, n_iter=3)
     rows = [
         (c, p, w) for c, vec in enumerate(cents) for p, w in enumerate(vec)
     ]
-    local_df(spark, rows, "cell int, pos int, w double").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(KMEANS_CENTROIDS_ORACLE_PATH)
+    write_local_parquet(rows, "cell int, pos int, w double", KMEANS_CENTROIDS_ORACLE_PATH)
     return (
         emb.withColumn("_a", assign_ivf_cell_sim(F.col("embedding"), cents))
         .select(
@@ -1174,7 +1172,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen), shortlist by integer-LUT asymmetric distance
     (TakeOrdered), exact-cosine re-rank to the final top-10."""
     from solrizer_spark.operators.similarity import pq_lut, pq_topk, pq_train
-    from solrizer_spark.session import local_df
+    from solrizer_spark.session import local_df, write_local_parquet
 
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # codebooks train on a bounded deterministic sample (FAISS
@@ -1195,14 +1193,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, cw in enumerate(book)
         for p, w in enumerate(cw)
     ]
-    local_df(spark, rows, "sub int, cell int, pos int, w double").coalesce(
-        1
-    ).write.mode("overwrite").parquet(PQ_CODEBOOK_ORACLE_PATH)
+    write_local_parquet(rows, "sub int, cell int, pos int, w double", PQ_CODEBOOK_ORACLE_PATH)
     lut = pq_lut(_QUERY_VEC, books)
     lrows = [(j, c, int(v)) for j, row in enumerate(lut) for c, v in enumerate(row)]
-    local_df(spark, lrows, "sub int, cell int, lutq bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(PQ_LUT_ORACLE_PATH)
+    write_local_parquet(lrows, "sub int, cell int, lutq bigint", PQ_LUT_ORACLE_PATH)
     return pq_topk(emb, _QUERY_VEC, books, k=10, shortlist=64)
 
 
@@ -1976,7 +1970,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same table (training is iterative; everything after it is
     deterministic)."""
     from solrizer_spark.operators.similarity import kmeans_fit, semantic_dedup
-    from solrizer_spark.session import local_df
+    from solrizer_spark.session import local_df, write_local_parquet
 
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # the synthetic embeddings carry no natural near-dups (within-cell
@@ -1992,9 +1986,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (c, p, w) for c, vec in enumerate(cents) for p, w in enumerate(vec)
     ]
-    local_df(spark, rows, "cell int, pos int, w double").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(SEMDEDUP_CENTROIDS_ORACLE_PATH)
+    write_local_parquet(rows, "cell int, pos int, w double", SEMDEDUP_CENTROIDS_ORACLE_PATH)
     return semantic_dedup(union, cents, tau=0.99)
 
 
@@ -2009,15 +2001,13 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_importance_weights,
         dsir_log_ratio_table,
     )
-    from solrizer_spark.session import local_df
+    from solrizer_spark.session import local_df, write_local_parquet
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     ratios = dsir_log_ratio_table(
         docs, "text", F.col("lang") == "en", buckets=DSIR_BUCKETS
     )
-    local_df(spark, ratios, "f int, qlog long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(DSIR_RATIOS_ORACLE_PATH)
+    write_local_parquet(ratios, "f int, qlog long", DSIR_RATIOS_ORACLE_PATH)
     return dsir_importance_weights(
         docs, ratios, "text", "doc_id", buckets=DSIR_BUCKETS, top_k=DSIR_TOP_K
     )

@@ -265,7 +265,7 @@ def save_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
     """Persist learned merges as a ``(rank, left, right)`` parquet
     table — the tokenizer artifact a training run ships alongside its
     corpus (rank preserves application priority)."""
-    from solrizer_spark.session import local_df
+    from solrizer_spark.session import write_local_parquet
 
     products = [a + b for a, b in merges]
     assert len(set(products)) == len(products), (
@@ -273,9 +273,8 @@ def save_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
         "(see learn_bpe); refusing to persist"
     )
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    local_df(
-        spark, rows, "rank long, left string, right string"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # driver-direct write — zero Spark jobs for a ≤KB artifact
+    write_local_parquet(rows, "rank long, left string, right string", path)
 
 
 def load_merges(spark, path: str) -> list[tuple[str, str]]:

@@ -977,13 +977,14 @@ def write_lsh_index(
     capped.select(
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_id"
     ).write.mode("overwrite").parquet(f"{path}/bands")
-    from solrizer_spark.session import local_df
+    from solrizer_spark.session import write_local_parquet
 
-    local_df(
-        spark,
+    # driver-direct write — zero Spark jobs for the one-row params table
+    write_local_parquet(
         [(shingle_n, num_hashes, bands, max_bucket)],
         "shingle_n int, num_hashes int, bands int, max_bucket int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+        f"{path}/params",
+    )
 
 
 def dedup_against_index(

@@ -114,6 +114,75 @@ except Exception:  # pragma: no cover - pyarrow is baked into this env
         pass
 
 
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL string on TOP-LEVEL commas only: decimal(10,2) /
+    map<k,v> / struct<a:int,b:int> carry commas inside (),<> nesting."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema[start:i])
+            start = i + 1
+    fields.append(schema[start:])
+    return fields
+
+
+#: DDL scalar type → pyarrow type for write_local_parquet (the only
+#: types the engine's tiny side tables use)
+_PA_TYPES = {
+    "int": "int32",
+    "integer": "int32",
+    "bigint": "int64",
+    "long": "int64",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool_",
+}
+
+
+def write_local_parquet(rows, schema: str, path: str) -> None:
+    """Driver-direct parquet write of a tiny driver-local rows list —
+    ZERO Spark jobs.
+
+    ``local_df(...).coalesce(1).write`` schedules a full Spark job +
+    commit protocol (~0.2 s each) to persist a ≤KB side table; the
+    iterative oracle queries (PQ codebooks, k-means centroids, DSIR
+    ratios, BPE merges) pay that per timed run. This writes
+    ``<path>/part-00000.parquet`` via pyarrow with the SAME column
+    types Spark's writer emits for the DDL, so DuckDB oracles reading
+    ``<path>/*.parquet`` and Spark readers of the directory see
+    identical data. Overwrite semantics (the directory is cleared).
+    Raises for DDL types outside the scalar map — callers fall back
+    to ``local_df`` + Spark write for anything exotic."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names, types = [], []
+    for f in _split_ddl(schema):
+        name, ddl_t = f.split(None, 1)
+        t = ddl_t.strip().lower()
+        if t not in _PA_TYPES:
+            raise ValueError(f"write_local_parquet: unsupported type {t!r}")
+        names.append(name)
+        types.append(getattr(pa, _PA_TYPES[t])())
+    rows = [tuple(r) for r in rows]
+    arrays = [
+        pa.array([r[i] for r in rows], type=types[i])
+        for i in range(len(names))
+    ]
+    table = pa.Table.from_arrays(arrays, names=names)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
 def local_df(spark: SparkSession, rows, schema: str):
     """Driver-local rows → DataFrame via the pandas/Arrow path: a
     single JVM LocalRelation, zero Python-worker partitions.
@@ -137,19 +206,7 @@ def local_df(spark: SparkSession, rows, schema: str):
     """
     import pandas as pd
 
-    # split on TOP-LEVEL commas only: decimal(10,2) / map<k,v> /
-    # struct<a:int,b:int> carry commas inside (),<> nesting
-    fields, depth, start = [], 0, 0
-    for i, ch in enumerate(schema):
-        if ch in "(<":
-            depth += 1
-        elif ch in ")>":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            fields.append(schema[start:i])
-            start = i + 1
-    fields.append(schema[start:])
-    cols = [f.split(None, 1)[0] for f in fields]
+    cols = [f.split(None, 1)[0] for f in _split_ddl(schema)]
     # materialize ONCE up front: `rows` may be a one-shot iterator,
     # and the fallback must see the same rows the pandas path consumed
     rows = [tuple(r) for r in rows]
