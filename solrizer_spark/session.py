@@ -18,8 +18,19 @@ import os
 from pyspark.sql import SparkSession
 
 #: Cap on rows per Arrow batch crossing the JVM↔Python boundary.
-#: At ~64 KiB mean page size this bounds batches to ~64 MiB.
-ARROW_MAX_RECORDS_PER_BATCH = 1024
+#: Round 6: raised 1024 → 8192 and paired with the Spark 4
+#: BYTES-bounded cap below — the row-only cap was a proxy for memory
+#: (1024 × p99 page size), which both under-batched small pages
+#: (more per-batch round-trips; measured ~3-9% on the steady
+#: extraction chain) and under-protected huge ones. The byte cap now
+#: carries the memory bound directly; the row cap is just a sanity
+#: ceiling for ultra-narrow rows.
+ARROW_MAX_RECORDS_PER_BATCH = 8192
+
+#: Hard byte bound per Arrow batch (Spark 4 maxBytesPerBatch): the
+#: actual per-worker transient memory contract, independent of row
+#: width.
+ARROW_MAX_BYTES_PER_BATCH = 32 * 1024 * 1024
 
 
 def get_spark(
@@ -48,6 +59,10 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(ARROW_MAX_BYTES_PER_BATCH),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
